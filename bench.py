@@ -1,0 +1,76 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (collect) so the number covers scan → shuffle
+→ result materialization, mirroring how the reference measures its
+end-to-end query latency (file-discovery + query + fetch timing logs,
+querier/queryClient.go:442-445, :863, :922).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per operator family (scan/agg, join, star join, window,
+#: time bucket, as-of, json, explode, minhash dedup, exact-pair dedup, ANN,
+#: text pipeline).
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_rank_topn",
+    "ts_bucket_5m",
+    "asof_purchase_click",
+    "json_extract_agg",
+    "explode_words",
+    "dedup_minhash_lsh_pairs",
+    "dedup_jaccard_pairs",
+    "ann_cosine_topk",
+    "embedding_neardup_pairs",
+    "text_quality_scores",
+)
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from gigapi_querier_spark.session import get_spark
+
+    spark = get_spark(app_name="gigapi-bench")
+    qs = entry_mod.queries()
+
+    # Warm the JVM + parquet footers once with the cheapest query so the
+    # first measured query doesn't pay session bring-up.
+    qs["q1_pricing_summary"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        rows = qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del rows
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

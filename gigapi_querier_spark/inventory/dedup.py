@@ -1,0 +1,131 @@
+"""Dedup coverage over the ``documents`` table (north-star extension;
+operators in operators/dedup.py). Oracles reproduce the same md5-based
+hashing in DuckDB SQL so signatures match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gigapi_querier_spark.inventory import register
+from gigapi_querier_spark.operators import dedup as D
+from gigapi_querier_spark.sources import load_tables
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+FROM documents
+""",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.exact_dedup_stats(t["documents"])
+
+
+# DuckDB mirror of operators/dedup.py:shingles (1-based inclusive slices).
+_ORACLE_SHINGLES = """
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                               i -> array_to_string(w[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) words
+"""
+
+_ORACLE_SIGS = f"""
+  SELECT doc_id,
+         min(md5(concat('0:', sh))) AS h0, min(md5(concat('1:', sh))) AS h1,
+         min(md5(concat('2:', sh))) AS h2, min(md5(concat('3:', sh))) AS h3,
+         min(md5(concat('4:', sh))) AS h4, min(md5(concat('5:', sh))) AS h5,
+         min(md5(concat('6:', sh))) AS h6, min(md5(concat('7:', sh))) AS h7
+  FROM ({_ORACLE_SHINGLES}) shingles
+  GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM ({_ORACLE_SIGS}) s",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.minhash_signatures(t["documents"], num_hashes=8)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH sigs AS ({_ORACLE_SIGS}),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bv FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    sig = D.minhash_signatures(t["documents"], num_hashes=8)
+    return D.minhash_lsh_pairs(sig, num_hashes=8, rows_per_band=2)
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+WITH words AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.simhash16(t["documents"])
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT d.doc_id, d.lang, s.sh
+  FROM documents d
+  JOIN ({_ORACLE_SHINGLES}) s ON s.doc_id = d.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b
+    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.1
+""",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return D.jaccard_pairs(
+        t["documents"], block_cols=("lang",), threshold=0.1
+    )

@@ -1,0 +1,99 @@
+"""Similarity-search coverage over the ``embeddings`` table
+(array<float>, 64-dim; operators in operators/similarity.py).
+
+The query vector / hyperplanes are rows of the table itself (vec_id 0 and
+1..4) so both engines derive them deterministically from the same data.
+DuckDB computes cosine via explicit dot/norm arithmetic over DOUBLE[] —
+same math as the Spark zip_with/aggregate fold, equal after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gigapi_querier_spark.inventory import register
+from gigapi_querier_spark.operators import similarity as S
+from gigapi_querier_spark.sources import load_tables
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    row = t["embeddings"].where(f"vec_id = {vec_id}").select("embedding").first()
+    return list(row[0])
+
+
+_DOT = "list_sum(list_transform(range(1, 65), i -> a.e[i] * q.e[i]))"
+_NA = "sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))"
+_NQ = "sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i] * q.e[i])))"
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+     a AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id, round({_DOT} / ({_NA} * {_NQ}), 6) AS cosine_sim
+FROM a, q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return S.cosine_topk(t["embeddings"], q, k=10)
+
+
+def _hyperplanes(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    return [_query_vec(spark, sf_dir, i) for i in (1, 2, 3, 4)]
+
+
+_HP_DOT = "list_sum(list_transform(range(1, 65), i -> a.e[i] * h{j}.e[i]))"
+
+
+@register(
+    "ann_lsh_bucket_counts",
+    oracle="""
+WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     h1 AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 1),
+     h2 AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 2),
+     h3 AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 3),
+     h4 AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 4)
+SELECT CAST(
+         (CASE WHEN {d1} >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN {d2} >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN {d3} >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN {d4} >= 0 THEN 8 ELSE 0 END) AS INT) AS bucket,
+       count(*) AS n
+FROM a, h1, h2, h3, h4
+GROUP BY 1
+""".format(
+        d1=_HP_DOT.format(j=1),
+        d2=_HP_DOT.format(j=2),
+        d3=_HP_DOT.format(j=3),
+        d4=_HP_DOT.format(j=4),
+    ),
+)
+def ann_lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return S.lsh_bucket_counts(t["embeddings"], _hyperplanes(spark, sf_dir))
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+WITH a AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.label AS blk,
+       round(list_sum(list_transform(range(1, 65), i -> x.e[i] * y.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> x.e[i] * x.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> y.e[i] * y.e[i])))), 4)
+         AS cosine_sim
+FROM a x JOIN a y ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE round(list_sum(list_transform(range(1, 65), i -> x.e[i] * y.e[i]))
+            / (sqrt(list_sum(list_transform(range(1, 65), i -> x.e[i] * x.e[i])))
+             * sqrt(list_sum(list_transform(range(1, 65), i -> y.e[i] * y.e[i])))), 4) >= 0.3
+""",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return S.neardup_pairs(t["embeddings"], block_col="label", threshold=0.3)

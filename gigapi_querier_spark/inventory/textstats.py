@@ -1,0 +1,112 @@
+"""Text-analysis coverage over ``documents`` (operators/textstats.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gigapi_querier_spark.inventory import register
+from gigapi_querier_spark.operators import textstats as T
+from gigapi_querier_spark.sources import load_tables
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(avg(len(string_split(text, ' '))), 4)       AS avg_tokens,
+       round(avg(length(text)), 4)                       AS avg_chars
+FROM documents GROUP BY source
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    n_tok = T.token_count(F.col("text"))
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok.cast("long")).alias("total_tokens"),
+            F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         length(text)                 AS n_chars,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the', 'a', 'of', 'and'))) AS n_stop,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS INT)                               AS n_tokens,
+       round((n_chars - (n_tok - 1)) / n_tok, 4)        AS avg_word_len,
+       round(n_stop / n_tok, 4)                         AS stopword_ratio,
+       round(n_digit / n_chars, 4)                      AS digit_ratio,
+       round(ln(1 + n_tok) - 2 * round(n_digit / n_chars, 4)
+             + round(n_stop / n_tok, 4), 4)             AS quality_score
+FROM f
+""",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return T.quality_features(t["documents"])
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                                 w -> w IN ('the', 'a', 'of', 'and')))
+                 / len(string_split(text, ' ')) > 0.05
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return T.lang_id(t["documents"])
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       substring(md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')), 1, 16)
+         AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return T.fingerprint(t["documents"])
+
+
+@register(
+    "text_subword_counts",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+         AS n_subwords,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+FROM documents
+""",
+)
+def text_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return t["documents"].select(
+        "doc_id",
+        T.subword_count(F.col("text")).alias("n_subwords"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )

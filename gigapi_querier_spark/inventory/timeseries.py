@@ -1,0 +1,184 @@
+"""Time-series queries over the int64-ns time model (reference data model:
+``time`` columns are epoch nanoseconds — querier/queryClient.go:185-337;
+``events.ts`` surfaces as LongType ns via nanosAsLong).
+
+Oracle note: DuckDB reads the same parquet as timestamp and truncates ns→µs,
+so every cross-engine comparison buckets at µs or coarser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gigapi_querier_spark.inventory import register
+from gigapi_querier_spark.operators.asof import asof_join
+from gigapi_querier_spark.sources import load_tables
+
+NS_PER_S = 1_000_000_000
+
+
+# --------------------------------------------------------------------------
+# time_bucket: 5-minute windows — the canonical time-series rollup.
+# Scale: pure map-side arithmetic + one partial-aggregated shuffle on
+# (bucket, type); no window function needed.
+# --------------------------------------------------------------------------
+@register(
+    "ts_bucket_5m",
+    oracle="""
+SELECT (epoch_ns(ts) // 300000000000) * 300 AS bucket_s,
+       event_type,
+       count(*)             AS n,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+)
+def ts_bucket_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    # Integer division: ns values exceed 2^53, so float division would lose
+    # precision near bucket boundaries.
+    bucket = F.expr(f"(ts DIV {300 * NS_PER_S}) * 300").alias("bucket_s")
+    return (
+        t["events"]
+        .groupBy(bucket, "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Daily top event types — bucket + rank, two time-series staples chained.
+# --------------------------------------------------------------------------
+@register(
+    "ts_daily_top_type",
+    oracle="""
+SELECT day_s, event_type, n FROM (
+  SELECT (epoch_ns(ts) // 86400000000000) * 86400 AS day_s,
+         event_type, count(*) AS n,
+         CAST(row_number() OVER (PARTITION BY (epoch_ns(ts) // 86400000000000) * 86400
+                            ORDER BY count(*) DESC, event_type) AS INT) AS rnk
+  FROM events GROUP BY 1, 2
+) t WHERE rnk = 1
+""",
+)
+def ts_daily_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+SELECT day_s, event_type, n FROM (
+  SELECT (ts DIV 86400000000000) * 86400 AS day_s,
+         event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY (ts DIV 86400000000000) * 86400
+                            ORDER BY count(*) DESC, event_type) AS rnk
+  FROM events GROUP BY 1, 2
+) t WHERE rnk = 1
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON column access (events.props is a JSON blob; SURVEY.md §2.B JSON row)
+# --------------------------------------------------------------------------
+@register(
+    "json_extract_agg",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY user_id
+""",
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .select("user_id", F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("user_id")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# AS-OF join: for each purchase, the latest click at-or-before it by the
+# same user. Spark: union + running last_value (operators/asof.py — one
+# shuffle, no pairwise blow-up). Oracle: DuckDB's native ASOF JOIN.
+# Times are compared/emitted at µs (ns on the Spark side are µs-aligned
+# after DuckDB truncation — see module docstring).
+# --------------------------------------------------------------------------
+@register(
+    "asof_purchase_click",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts)              AS purchase_us,
+       epoch_us(c.ts)              AS click_us,
+       round(c.value, 2)           AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("purchase_us"),
+        F.expr("ts_asof DIV 1000").alias("click_us"),
+        F.round("value_asof", 2).alias("click_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Session-style gap analysis: per-user time deltas via lag over ns longs.
+# --------------------------------------------------------------------------
+@register(
+    "ts_user_gaps",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS gap_us
+  FROM events
+) t
+GROUP BY user_id
+""",
+)
+def ts_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+SELECT user_id,
+       count(*) AS n_events,
+       max(gap_us) AS max_gap_us,
+       min(gap_us) AS min_gap_us
+FROM (
+  SELECT user_id,
+         (ts DIV 1000) - lag(ts DIV 1000) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS gap_us
+  FROM events
+) t
+GROUP BY user_id
+"""
+    )

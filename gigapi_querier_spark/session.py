@@ -1,0 +1,84 @@
+"""SparkSession bootstrap — counterpart of the reference's Initialize()
+(/root/reference/querier/queryClient.go:46-64, which opens one shared DuckDB
+handle). Here one shared SparkSession, tuned for Parquet analytics.
+
+Scale notes (targets a 1000-executor cluster; tested on local[N]):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  dynamic broadcast selection.
+- ``nanosAsLong``: the reference's data model stores ``time`` as int64 epoch
+  nanoseconds (SURVEY.md §1.3). Spark's TimestampType is µs, so ns-unit
+  parquet columns are surfaced as LongType ns — matching the reference
+  exactly — and converted only at presentation edges.
+- Session timezone pinned to UTC so timestamp semantics are stable across
+  drivers/executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(
+    app_name: str = "gigapi-querier-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or return) the shared SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- time model (reference parity) ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # --- adaptive execution: runtime re-plan at scale ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        # --- scan shape ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # --- Python <-> JVM boundary is Arrow-batched everywhere ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    _register_session_functions(spark)
+    return spark
+
+
+#: SQL scalar helpers registered on every session. Pure SQL expression
+#: bodies — they inline into Catalyst plans and stay inside whole-stage
+#: codegen (no Python UDF in the hot path).
+_SQL_FUNCTIONS = (
+    # epoch_ns(ts) -> int64 nanoseconds (reference rewrites time literals to
+    # epoch_ns(...) — querier/queryClient.go:848-850). Spark timestamps are
+    # µs precision, so the low 3 digits are zero.
+    """CREATE OR REPLACE TEMPORARY FUNCTION epoch_ns(x TIMESTAMP)
+       RETURNS BIGINT RETURN unix_micros(x) * 1000""",
+    # time_bucket(width_ns, time_ns) -> bucket start in ns, for the int64-ns
+    # time model (DuckDB/Influx-style time_bucket; SURVEY.md §2.B).
+    """CREATE OR REPLACE TEMPORARY FUNCTION time_bucket_ns(width BIGINT, t BIGINT)
+       RETURNS BIGINT RETURN (t DIV width) * width""",
+)
+
+
+def _register_session_functions(spark: SparkSession) -> None:
+    for ddl in _SQL_FUNCTIONS:
+        try:
+            spark.sql(ddl)
+        except Exception:
+            # Older Spark without SQL scalar functions: engine falls back to
+            # expression rewriting in plans/sqlpass.py.
+            break
