@@ -1,0 +1,68 @@
+"""DataFrame → Arrow conversion with the reference's result-schema rules
+(querier/flightsql.go:307-455):
+
+- ``time`` column first, remaining columns sorted alphabetically
+  (flightsql.go:313-324);
+- columns named time/time_str/time_int are served as timestamp[ns, UTC]
+  (flightsql.go:430-432) — int64 ns longs and µs timestamps both re-cast;
+- all-null columns default to utf8 (flightsql.go:453-454).
+
+Spark hands back Arrow natively (df.toArrow(), Spark 4); this module only
+re-orders and re-types at the presentation edge so the engine stays
+ns-precise end-to-end.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+TIME_COLUMNS = ("time", "time_str", "time_int")
+_NS_UTC = pa.timestamp("ns", tz="UTC")
+
+
+def to_arrow(df: DataFrame) -> pa.Table:
+    table = df.toArrow()
+    return normalize_arrow(table)
+
+
+def normalize_arrow(table: pa.Table) -> pa.Table:
+    names = list(table.column_names)
+    ordered = [c for c in names if c == "time"] + sorted(
+        c for c in names if c != "time"
+    )
+    table = table.select(ordered)
+
+    fields = []
+    columns = []
+    for name in table.column_names:
+        col = table.column(name)
+        typ = col.type
+        if name in TIME_COLUMNS:
+            col = _to_ns_utc(col)
+            typ = _NS_UTC
+        elif pa.types.is_null(typ):
+            col = col.cast(pa.string())
+            typ = pa.string()
+        fields.append(pa.field(name, typ))
+        columns.append(col)
+    return pa.table(columns, schema=pa.schema(fields))
+
+
+def _to_ns_utc(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    t = col.type
+    if pa.types.is_integer(t):
+        # int64 epoch ns (the engine's native time representation)
+        return col.cast(pa.int64()).cast(_NS_UTC)
+    if pa.types.is_timestamp(t):
+        return col.cast(_NS_UTC)
+    if pa.types.is_string(t):
+        # best-effort string timestamps (reference parses multiple layouts,
+        # flightsql.go:409-425); unparseable → null
+        import pyarrow.compute as pc
+
+        try:
+            return pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="ns").cast(_NS_UTC)
+        except pa.ArrowInvalid:
+            return pa.chunked_array([pa.nulls(len(col), _NS_UTC)])
+    return col.cast(_NS_UTC)

@@ -1,0 +1,138 @@
+"""QueryEngine — the QueryClient equivalent (reference contract:
+``Query(ctx, query, dbName) -> rows``, core/query.go:8-16; pipeline
+querier/queryClient.go:713-930).
+
+Lifecycle per query (SURVEY.md §3.1, Spark-first):
+
+1. normalize; special-case SHOW DATABASES / SHOW TABLES;
+2. light pre-pass → table + time bounds (plans/sqlpass.py);
+   on parse failure → execute the (dialect-shimmed) SQL verbatim
+   (reference fallback, queryClient.go:768-815);
+3. catalog prune → explicit parquet file list (sources/catalog.py);
+4. bind ``spark.read.parquet(*files)`` as a temp view named like the
+   table, then run the ORIGINAL SQL through ``spark.sql`` — no FROM-clause
+   string surgery (deliberate divergence from queryClient.go:838-861;
+   same observable semantics, none of the self-reference bugs);
+5. hand back the DataFrame (callers choose collect / Arrow / stream).
+
+Scale: stage 3 is a metadata operation (index JSON, no data I/O); stage 4
+is a distributed scan with Catalyst predicate pushdown + row-group
+skipping layered under the engine's file-level pruning.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+from gigapi_querier_spark.plans.sqlpass import (
+    ParseError,
+    normalize,
+    parse_query,
+    rewrite_time_literals,
+    strip_db_qualifier,
+    to_spark_sql,
+)
+from gigapi_querier_spark.sources.catalog import Catalog
+
+
+class QueryError(Exception):
+    """User-facing query failure → HTTP 400 {"error": msg} (reference
+    querier/server.go:206-212)."""
+
+
+@dataclass
+class QueryStats:
+    """Per-query timing mirroring the reference's instrumentation
+    (file discovery :442-445, build :863, fetch :922)."""
+
+    n_files: int = 0
+    discovery_sec: float = 0.0
+    build_sec: float = 0.0
+
+
+class QueryEngine:
+    DEFAULT_DB = "mydb"  # HTTP default (reference querier/server.go:188)
+
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        self.spark = spark
+        self.root = root or os.environ.get("GIGAPI_ROOT", "/data")
+        self.catalog = Catalog(self.root)
+        self.last_stats = QueryStats()
+
+    # ------------------------------------------------------------------
+    def query(self, sql: str, db: str | None = None) -> DataFrame:
+        """Execute a query, returning a DataFrame."""
+        db = db or self.DEFAULT_DB
+        sql = normalize(sql)
+        upper = sql.upper().rstrip(";")
+
+        if upper == "SHOW DATABASES":
+            return self._one_col_df("database_name", self.catalog.databases())
+        if upper == "SHOW TABLES":
+            return self._one_col_df("table_name", self.catalog.tables(db))
+
+        try:
+            parsed = parse_query(sql, db)
+        except ParseError:
+            # Fallback: run verbatim (meta queries, SELECT 1, full dialect)
+            return self._run_sql(sql)
+
+        t0 = time.perf_counter()
+        files = self.catalog.find_files(
+            parsed.db_name, parsed.measurement, parsed.time_range
+        )
+        self.last_stats = QueryStats(
+            n_files=len(files), discovery_sec=time.perf_counter() - t0
+        )
+        if not files:
+            # The reference would hand DuckDB an empty read_parquet([]) and
+            # surface its error; a catalogued-but-empty range is not an
+            # error here — but an unknown table is.
+            if parsed.measurement not in self.catalog.tables(parsed.db_name):
+                return self._run_sql(sql)  # maybe a real Spark table/view
+            raise QueryError(
+                f"no files in time range for {parsed.db_name}.{parsed.measurement}"
+            )
+
+        t0 = time.perf_counter()
+        reader = self.spark.read.option("mergeSchema", "true")
+        df = reader.parquet(*files)
+        df.createOrReplaceTempView(parsed.measurement)
+        run_sql = strip_db_qualifier(sql, parsed.db_name, parsed.measurement)
+        # time-literal normalization (A10): comparisons against the int64-ns
+        # time column fold to ns integer literals
+        run_sql = rewrite_time_literals(run_sql)
+        out = self._run_sql(run_sql)
+        self.last_stats.build_sec = time.perf_counter() - t0
+        return out
+
+    def query_rows(self, sql: str, db: str | None = None) -> list[dict]:
+        """Collect results as row dicts with the reference's count-null→0
+        rule applied (queryClient.go:911-914)."""
+        df = self.query(sql, db)
+        cols = df.columns
+        count_cols = {c for c in cols if "count" in c}
+        rows = []
+        for r in df.collect():
+            d = r.asDict(recursive=True)
+            for c in count_cols:
+                if d.get(c) is None:
+                    d[c] = 0
+            rows.append(d)
+        return rows
+
+    # ------------------------------------------------------------------
+    def _run_sql(self, sql: str) -> DataFrame:
+        try:
+            return self.spark.sql(to_spark_sql(sql))
+        except Exception as e:  # surface as a 400-able error
+            raise QueryError(str(e)) from e
+
+    def _one_col_df(self, col: str, values: list[str]) -> DataFrame:
+        schema = StructType([StructField(col, StringType())])
+        return self.spark.createDataFrame([(v,) for v in values], schema)

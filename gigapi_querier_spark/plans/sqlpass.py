@@ -1,0 +1,312 @@
+"""Light SQL pre-pass — the engine-side counterpart of the reference's
+regex parser (ParseQuery, querier/queryClient.go:87-182) and time-range
+extractor (extractTimeRange, :185-337).
+
+Spark SQL parses the query fully at execution time; this pass only needs
+the pieces the *engine* acts on before execution:
+
+- the target ``db.table`` (to resolve + prune parquet files and bind a
+  temp view),
+- the ``time`` bounds (to prune files against the catalog's
+  [min_time, max_time] index),
+- clause text (SELECT list / WHERE / GROUP BY / HAVING / ORDER BY / LIMIT)
+  for parity with the reference's ParsedQuery shape.
+
+Divergences from the reference (documented; all strictly-saner):
+- one-sided time ranges are extracted and *do* prune (the reference
+  requires both bounds — queryClient.go:370, :380-381);
+- ``>``/``<`` vs ``>=``/``<=`` is preserved in the bounds used for
+  pruning (pruning by overlap is inclusive either way, so this only
+  matters for the echoed TimeCondition);
+- the dialect shim rewrites ``x::TYPE`` and timestamp-literal casts for
+  Spark instead of rewriting to ``epoch_ns`` string splices.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+NS_PER_S = 1_000_000_000
+
+# --- timestamp literal parsing (reference: RFC3339Nano, then
+# "2006-01-02T15:04:05"; queryClient.go:243-249 etc.) -----------------------
+
+_RFC3339 = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2}):(\d{2})"
+    r"(?:\.(\d{1,9}))?"
+    r"(Z|[+-]\d{2}:\d{2})?$"
+)
+
+
+def parse_time_literal_ns(literal: str) -> int | None:
+    """Parse an RFC3339(Nano) or ``YYYY-MM-DDTHH:MM:SS`` literal to epoch
+    nanoseconds (UTC assumed when no offset, matching Go's
+    ``2006-01-02T15:04:05`` layout parse). Returns None if unparseable."""
+    m = _RFC3339.match(literal.strip())
+    if not m:
+        # Date-only form: treat as midnight UTC (convenience; the
+        # reference rejects it and falls through).
+        dm = re.match(r"^(\d{4})-(\d{2})-(\d{2})$", literal.strip())
+        if not dm:
+            return None
+        y, mo, d = (int(g) for g in dm.groups())
+        try:
+            dt = datetime(y, mo, d, tzinfo=timezone.utc)
+        except ValueError:
+            return None
+        return int(dt.timestamp()) * NS_PER_S
+    y, mo, d, hh, mm, ss = (int(g) for g in m.groups()[:6])
+    frac = m.group(7) or ""
+    off = m.group(8)
+    ns = int(frac.ljust(9, "0")) if frac else 0
+    try:
+        dt = datetime(y, mo, d, hh, mm, ss, tzinfo=timezone.utc)
+    except ValueError:
+        return None
+    base = int(dt.timestamp())
+    if off and off != "Z":
+        sign = 1 if off[0] == "+" else -1
+        oh, om = int(off[1:3]), int(off[4:6])
+        base -= sign * (oh * 3600 + om * 60)
+    return base * NS_PER_S + ns
+
+
+# --- time-range extraction --------------------------------------------------
+
+#: The four literal wrappers the reference recognizes
+#: (querier/queryClient.go:199-218): plain '<lit>', cast('<lit>' as
+#: timestamp), epoch_ns('<lit>'[::TIMESTAMP]), epoch_ns(cast('<lit>' as
+#: timestamp)[::TIMESTAMP]).
+_LIT = r"'([^']+)'"
+_WRAPPERS = (
+    _LIT,
+    rf"cast\s*\(\s*{_LIT}\s+as\s+timestamp\s*\)",
+    rf"epoch_ns\s*\(\s*{_LIT}(?:::TIMESTAMP)?\s*\)",
+    rf"epoch_ns\s*\(\s*cast\s*\(\s*{_LIT}\s+as\s+timestamp\s*\)(?:::TIMESTAMP)?\s*\)",
+)
+
+
+@dataclass
+class TimeRange:
+    """Extracted time bounds in epoch ns (reference: TimeRange,
+    querier/queryClient.go:80-84)."""
+
+    start: int | None = None
+    end: int | None = None
+    time_condition: str = ""
+
+    @property
+    def is_empty(self) -> bool:
+        return self.start is None and self.end is None
+
+
+def extract_time_range(where_clause: str) -> TimeRange:
+    """Extract ``[start_ns, end_ns]`` from a WHERE clause.
+
+    Recognizes ``time (>=|>|<=|<|=|BETWEEN)`` against the four literal
+    wrappers — the same 16 shapes as the reference, in one pass.
+    """
+    tr = TimeRange()
+    if not where_clause:
+        return tr
+
+    start_ns: int | None = None
+    end_ns: int | None = None
+    start_op = ">="
+    end_op = "<="
+
+    for wrapper in _WRAPPERS:
+        # BETWEEN <w> AND <w>
+        for m in re.finditer(
+            rf"time\s+BETWEEN\s+{wrapper}\s+AND\s+{wrapper}",
+            where_clause,
+            re.IGNORECASE,
+        ):
+            s = parse_time_literal_ns(m.group(1))
+            e = parse_time_literal_ns(m.group(2))
+            if s is not None and e is not None:
+                start_ns, end_ns = s, e
+                start_op, end_op = ">=", "<="
+        # time = <w>
+        for m in re.finditer(rf"time\s*=\s*{wrapper}", where_clause, re.IGNORECASE):
+            v = parse_time_literal_ns(m.group(1))
+            if v is not None:
+                start_ns = end_ns = v
+                start_op, end_op = ">=", "<="
+        # time >=/>/<=/< <w>
+        for m in re.finditer(
+            rf"time\s*(>=|>|<=|<)\s*{wrapper}", where_clause, re.IGNORECASE
+        ):
+            v = parse_time_literal_ns(m.group(2))
+            if v is None:
+                continue
+            op = m.group(1)
+            if op in (">=", ">"):
+                start_ns, start_op = v, op
+            else:
+                end_ns, end_op = v, op
+
+    def _fmt(ns: int) -> str:
+        dt = datetime.fromtimestamp(ns // NS_PER_S, tz=timezone.utc)
+        return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    conds = []
+    if start_ns is not None:
+        tr.start = start_ns
+        conds.append(f"time {start_op} epoch_ns('{_fmt(start_ns)}'::TIMESTAMP)")
+    if end_ns is not None:
+        tr.end = end_ns
+        conds.append(f"time {end_op} epoch_ns('{_fmt(end_ns)}'::TIMESTAMP)")
+    tr.time_condition = " AND ".join(conds)
+    return tr
+
+
+# --- query parsing -----------------------------------------------------------
+
+
+@dataclass
+class ParsedQuery:
+    """Reference ParsedQuery shape (querier/queryClient.go:67-77)."""
+
+    columns: str = "*"
+    db_name: str = ""
+    measurement: str = ""
+    time_range: TimeRange = field(default_factory=TimeRange)
+    where_conditions: str = ""
+    order_by: str = ""
+    group_by: str = ""
+    having: str = ""
+    limit: int = 0
+
+
+class ParseError(ValueError):
+    """Raised when the light pre-pass can't find a single FROM target —
+    the engine then falls back to executing the SQL verbatim
+    (reference: querier/queryClient.go:768-815)."""
+
+
+def normalize(sql: str) -> str:
+    return re.sub(r"\s+", " ", sql.replace("\n", " ").replace("\r", " ")).strip()
+
+
+def parse_query(sql: str, db_name: str = "") -> ParsedQuery:
+    """Extract table + clauses (reference semantics, queryClient.go:87-182)."""
+    sql = normalize(sql)
+
+    cols_m = re.search(r"SELECT\s+(.*?)\s+FROM", sql, re.IGNORECASE)
+    columns = cols_m.group(1).strip() if cols_m else "*"
+
+    from_m = re.search(r"FROM\s+(?:(\w+)\.)?(\w+)", sql, re.IGNORECASE)
+    if not from_m:
+        raise ParseError("invalid query: FROM clause not found or invalid")
+    if from_m.group(1):
+        db_name = from_m.group(1)
+    measurement = from_m.group(2)
+
+    where_clause = ""
+    parts = re.split(r"\sWHERE\s", sql, maxsplit=1, flags=re.IGNORECASE)
+    if len(parts) == 2:
+        where_clause = parts[1]
+        upper = where_clause.upper()
+        cut = len(where_clause)
+        for clause in (" GROUP BY ", " ORDER BY ", " LIMIT ", " HAVING "):
+            idx = upper.find(clause)
+            if idx != -1:
+                cut = min(cut, idx)
+        where_clause = where_clause[:cut]
+
+    def _clause(pattern: str) -> str:
+        m = re.search(pattern, sql, re.IGNORECASE)
+        return m.group(1).strip() if m else ""
+
+    order_by = _clause(r"ORDER\s+BY\s+(.*?)(?:\s+(?:LIMIT|GROUP|HAVING)\s|$)")
+    group_by = _clause(r"GROUP\s+BY\s+(.*?)(?:\s+(?:ORDER|LIMIT|HAVING)\s|$)")
+    having = _clause(r"HAVING\s+(.*?)(?:\s+(?:ORDER|LIMIT)\s|$)")
+    limit_m = re.search(r"LIMIT\s+(\d+)", sql, re.IGNORECASE)
+    limit = int(limit_m.group(1)) if limit_m else 0
+
+    return ParsedQuery(
+        columns=columns,
+        db_name=db_name,
+        measurement=measurement,
+        time_range=extract_time_range(where_clause),
+        where_conditions=where_clause,
+        order_by=order_by,
+        group_by=group_by,
+        having=having,
+        limit=limit,
+    )
+
+
+# --- timestamp-literal normalization (A10) -----------------------------------
+# The reference rewrites `time <op> cast('lit' as timestamp)` to
+# `time <op> epoch_ns('lit'::TIMESTAMP)` so comparisons hit the int64-ns
+# column (querier/queryClient.go:848-850). Here every recognized literal
+# wrapper is folded straight to the ns integer — uniform, dialect-free,
+# and constant for Catalyst.
+
+
+def rewrite_time_literals(sql: str) -> str:
+    """Fold ``time <op> <timestamp literal>`` comparisons (all four
+    wrappers + BETWEEN) into int64-ns literals."""
+
+    def _fold(lit: str) -> str | None:
+        ns = parse_time_literal_ns(lit)
+        return None if ns is None else str(ns)
+
+    for wrapper in _WRAPPERS:
+
+        def _sub_between(m: re.Match) -> str:
+            a, b = _fold(m.group(1)), _fold(m.group(2))
+            return m.group(0) if a is None or b is None else f"time BETWEEN {a} AND {b}"
+
+        sql = re.sub(
+            rf"time\s+BETWEEN\s+{wrapper}\s+AND\s+{wrapper}",
+            _sub_between,
+            sql,
+            flags=re.IGNORECASE,
+        )
+
+        def _sub_cmp(m: re.Match) -> str:
+            v = _fold(m.group(2))
+            return m.group(0) if v is None else f"time {m.group(1)} {v}"
+
+        sql = re.sub(
+            rf"time\s*(>=|>|<=|<|=)\s*{wrapper}",
+            _sub_cmp,
+            sql,
+            flags=re.IGNORECASE,
+        )
+    return sql
+
+
+# --- DuckDB → Spark dialect shim ---------------------------------------------
+
+_PG_CAST = re.compile(r"'([^']*)'::TIMESTAMP\b", re.IGNORECASE)
+_PG_CAST_GENERIC = re.compile(r"(\w+|'[^']*')::(\w+)")
+
+
+def to_spark_sql(sql: str) -> str:
+    """Rewrite the DuckDB-isms the reference's own API surface produces so
+    Spark SQL parses them:
+
+    - ``'lit'::TIMESTAMP``  → ``TIMESTAMP 'lit'``
+    - ``expr::TYPE``        → ``CAST(expr AS TYPE)``
+    - ``epoch_ns(...)`` stays — registered as a session SQL function
+      (session.py).
+    """
+    sql = _PG_CAST.sub(lambda m: f"TIMESTAMP '{m.group(1)}'", sql)
+    sql = _PG_CAST_GENERIC.sub(lambda m: f"CAST({m.group(1)} AS {m.group(2)})", sql)
+    return sql
+
+
+def strip_db_qualifier(sql: str, db_name: str, measurement: str) -> str:
+    """Rewrite ``FROM db.table`` → ``FROM table`` so the bound temp view
+    resolves (temp views live outside database namespaces)."""
+    if not db_name:
+        return sql
+    return re.sub(
+        rf"\b{re.escape(db_name)}\.{re.escape(measurement)}\b", measurement, sql
+    )

@@ -1,0 +1,100 @@
+"""End-to-end engine tests over the weather fixture (reference lifecycle
+§3.1: parse → prune → bind → execute → encode)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gigapi_querier_spark.engine import QueryEngine, QueryError
+from tests.fixtures import build_weather_root
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("gigapi_root"))
+    build_weather_root(root)
+    return QueryEngine(spark, root=root)
+
+
+def test_count_with_time_range_prunes(engine):
+    rows = engine.query_rows(
+        "SELECT count(*) AS value FROM weather"
+        " WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z'",
+        "mydb",
+    )
+    assert rows == [{"value": 24}]
+    assert engine.last_stats.n_files == 2  # only the two Jan-2 hour files
+
+
+def test_aggregation_over_all(engine):
+    rows = engine.query_rows(
+        "SELECT location, count(*) AS n, round(avg(temperature), 2) AS avg_t"
+        " FROM weather GROUP BY location ORDER BY location",
+        "mydb",
+    )
+    assert [r["location"] for r in rows] == ["east", "north", "south"]
+    assert sum(r["n"] for r in rows) == 84
+
+
+def test_db_qualifier_in_sql(engine):
+    rows = engine.query_rows("SELECT count(*) AS value FROM mydb.weather", "other")
+    assert rows == [{"value": 84}]
+
+
+def test_merge_schema_drift(engine):
+    # 'pressure' exists only in one drift file; engine must union by name
+    rows = engine.query_rows(
+        "SELECT count(pressure) AS n_pressure, count(*) AS n FROM weather"
+        " WHERE time >= '2024-01-03T12:00:00Z' AND time <= '2024-01-03T13:00:00Z'",
+        "mydb",
+    )
+    assert rows == [{"n_pressure": 6, "n": 12}]
+
+
+def test_epoch_ns_comparison(engine):
+    # the reference's rewritten form must execute against the long column
+    rows = engine.query_rows(
+        "SELECT count(*) AS value FROM weather"
+        " WHERE time >= epoch_ns('2024-01-02T00:00:00'::TIMESTAMP)"
+        " AND time <= epoch_ns('2024-01-02T23:59:59'::TIMESTAMP)",
+        "mydb",
+    )
+    assert rows == [{"value": 24}]
+
+
+def test_count_null_rule(engine):
+    # count* columns: engine coalesces NULL → 0 (queryClient.go:911-914)
+    rows = engine.query_rows(
+        "SELECT max(count) AS count_max FROM weather WHERE temperature < -100", "mydb"
+    )
+    assert rows == [{"count_max": 0}]
+
+
+def test_show_databases_tables(engine):
+    rows = engine.query_rows("SHOW DATABASES")
+    assert {r["database_name"] for r in rows} == {"mydb", "otherdb"}
+    rows = engine.query_rows("SHOW TABLES", "mydb")
+    assert {r["table_name"] for r in rows} == {"weather", "metrics"}
+
+
+def test_fallback_select_1(engine):
+    assert engine.query_rows("SELECT 1 AS x") == [{"x": 1}]
+
+
+def test_fallback_version(engine):
+    rows = engine.query_rows("SELECT version() AS v")
+    assert rows and rows[0]["v"]
+
+
+def test_unknown_table_errors(engine):
+    with pytest.raises(QueryError):
+        engine.query_rows("SELECT * FROM nosuchtable", "mydb")
+
+
+def test_empty_time_range_errors(engine):
+    with pytest.raises(QueryError):
+        engine.query_rows(
+            "SELECT * FROM weather WHERE time >= '2030-01-01T00:00:00Z'"
+            " AND time <= '2030-01-02T00:00:00Z'",
+            "mydb",
+        )

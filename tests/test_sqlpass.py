@@ -1,0 +1,116 @@
+"""Golden tests ported from the reference's unit suite
+(querier/queryClient_test.go:8-160) plus dialect-shim checks."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from gigapi_querier_spark.plans import (
+    extract_time_range,
+    parse_query,
+    to_spark_sql,
+)
+from gigapi_querier_spark.plans.sqlpass import ParseError, strip_db_qualifier
+
+NS = 1_000_000_000
+
+
+def _ns(y, mo, d, h=0, m=0, s=0):
+    return int(datetime(y, mo, d, h, m, s, tzinfo=timezone.utc).timestamp()) * NS
+
+
+JAN1 = _ns(2023, 1, 1)
+JAN2 = _ns(2023, 1, 2)
+
+
+@pytest.mark.parametrize(
+    "where",
+    [
+        # the reference's six golden forms (queryClient_test.go:15-51)
+        "time >= '2023-01-01T00:00:00Z' AND time <= '2023-01-02T00:00:00Z'",
+        "time >= cast('2023-01-01T00:00:00Z' as timestamp) AND time <= cast('2023-01-02T00:00:00Z' as timestamp)",
+        "time >= epoch_ns('2023-01-01T00:00:00'::TIMESTAMP) AND time <= epoch_ns('2023-01-02T00:00:00'::TIMESTAMP)",
+        "time >= epoch_ns(cast('2023-01-01T00:00:00' as timestamp)::TIMESTAMP) AND time <= epoch_ns(cast('2023-01-02T00:00:00' as timestamp)::TIMESTAMP)",
+        "time BETWEEN '2023-01-01T00:00:00Z' AND '2023-01-02T00:00:00Z'",
+    ],
+)
+def test_extract_range_two_sided(where):
+    tr = extract_time_range(where)
+    assert (tr.start, tr.end) == (JAN1, JAN2)
+
+
+def test_extract_equality_pins_both_bounds():
+    tr = extract_time_range("time = '2023-01-01T00:00:00Z'")
+    assert (tr.start, tr.end) == (JAN1, JAN1)
+
+
+def test_extract_one_sided():  # divergence: reference wouldn't prune these
+    tr = extract_time_range("time > '2023-01-01T00:00:00Z'")
+    assert tr.start == JAN1 and tr.end is None
+    tr = extract_time_range("time < '2023-01-02T00:00:00Z'")
+    assert tr.start is None and tr.end == JAN2
+
+
+def test_extract_nano_precision():
+    tr = extract_time_range("time >= '2023-01-01T00:00:00.123456789Z'")
+    assert tr.start == JAN1 + 123456789
+
+
+def test_extract_nothing():
+    assert extract_time_range("temperature > 20").is_empty
+    assert extract_time_range("").is_empty
+
+
+def test_parse_query_reference_case():
+    q = parse_query(
+        "SELECT COUNT(*) AS value FROM hep.hep_1 WHERE time >= '2023-01-01T00:00:00Z'"
+        " AND time <= '2023-01-02T00:00:00Z'",
+        "ignored",
+    )
+    assert q.columns == "COUNT(*) AS value"
+    assert q.db_name == "hep"
+    assert q.measurement == "hep_1"
+    assert (q.time_range.start, q.time_range.end) == (JAN1, JAN2)
+    assert "epoch_ns" in q.time_range.time_condition
+    assert q.where_conditions.startswith("time >= ")
+
+
+def test_parse_query_clauses():
+    q = parse_query(
+        "SELECT location, avg(temperature) FROM weather WHERE time >= '2023-01-01T00:00:00Z'"
+        " GROUP BY location HAVING avg(temperature) > 5 ORDER BY location LIMIT 10",
+        "mydb",
+    )
+    assert q.db_name == "mydb"
+    assert q.measurement == "weather"
+    assert q.group_by == "location"
+    assert q.having == "avg(temperature) > 5"
+    assert q.order_by == "location"
+    assert q.limit == 10
+    assert "GROUP BY" not in q.where_conditions
+
+
+def test_parse_query_no_from_raises():
+    with pytest.raises(ParseError):
+        parse_query("SELECT 1", "mydb")
+
+
+def test_dialect_shim():
+    assert to_spark_sql("SELECT '2023-01-01T00:00:00'::TIMESTAMP") == (
+        "SELECT TIMESTAMP '2023-01-01T00:00:00'"
+    )
+    assert to_spark_sql("SELECT x::INT FROM t") == "SELECT CAST(x AS INT) FROM t"
+
+
+def test_strip_db_qualifier():
+    assert (
+        strip_db_qualifier("SELECT * FROM mydb.weather WHERE x=1", "mydb", "weather")
+        == "SELECT * FROM weather WHERE x=1"
+    )
+    # no accidental replacement inside words
+    assert (
+        strip_db_qualifier("SELECT * FROM xmydb.weathery", "mydb", "weather")
+        == "SELECT * FROM xmydb.weathery"
+    )
