@@ -34,12 +34,12 @@ _ORACLE_SHINGLES = """
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) words
 """
 
+# numeric min-hash: top 60 bits of the salted md5 as int64 (bit-for-bit
+# what operators/dedup.py computes via conv(..., 16, 10))
+_H = "min(('0x' || substring(md5(concat('{i}:', sh)), 1, 15))::BIGINT) AS h{i}"
 _ORACLE_SIGS = f"""
   SELECT doc_id,
-         min(md5(concat('0:', sh))) AS h0, min(md5(concat('1:', sh))) AS h1,
-         min(md5(concat('2:', sh))) AS h2, min(md5(concat('3:', sh))) AS h3,
-         min(md5(concat('4:', sh))) AS h4, min(md5(concat('5:', sh))) AS h5,
-         min(md5(concat('6:', sh))) AS h6, min(md5(concat('7:', sh))) AS h7
+         {", ".join(_H.format(i=i) for i in range(8))}
   FROM ({_ORACLE_SHINGLES}) shingles
   GROUP BY doc_id
 """
@@ -59,10 +59,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH sigs AS ({_ORACLE_SIGS}),
 bands AS (
-  SELECT doc_id, 0 AS band, md5(concat(h0, h1)) AS bv FROM sigs
-  UNION ALL SELECT doc_id, 1, md5(concat(h2, h3)) FROM sigs
-  UNION ALL SELECT doc_id, 2, md5(concat(h4, h5)) FROM sigs
-  UNION ALL SELECT doc_id, 3, md5(concat(h6, h7)) FROM sigs
+  SELECT doc_id, 0 AS band, md5(concat(h0::VARCHAR, ':', h1::VARCHAR)) AS bv FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(concat(h2::VARCHAR, ':', h3::VARCHAR)) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(concat(h4::VARCHAR, ':', h5::VARCHAR)) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(concat(h6::VARCHAR, ':', h7::VARCHAR)) FROM sigs
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b

@@ -149,6 +149,48 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Session-style gap analysis: per-user time deltas via lag over ns longs.
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# Sessionization (30-min inactivity gap) — lag → cumulative-sum window
+# composition (streaming twin: streaming/ingest.py sessionize/windows).
+# Both sides computed at µs so DuckDB's ns→µs truncation can't skew gaps.
+# --------------------------------------------------------------------------
+@register(
+    "ts_sessionize",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events
+),
+flags AS (
+  SELECT user_id, event_id, t_us,
+         CASE WHEN lag(t_us) OVER w IS NULL
+                   OR t_us - lag(t_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+),
+sess AS (
+  SELECT user_id, t_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flags
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(t_us) AS session_start,
+       max(t_us) AS session_end
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapi_querier_spark.streaming.ingest import sessionize_batch
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("t_us")
+    )
+    return sessionize_batch(ev, time_col="t_us", gap_minutes=30, ticks_per_second=1_000_000)
+
+
 @register(
     "ts_user_gaps",
     oracle="""

@@ -40,6 +40,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Advisory size tuned for analytics where post-shuffle work is
+        # CPU-heavy per byte (hashing, string ops): 8 MB keeps coalesced
+        # partitions numerous enough to use the cluster; at 100 TB this
+        # yields more, smaller tasks — safe, just more scheduling.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # InferFiltersFromGenerate duplicates the generator expression into
+        # a pushed-down Filter; for expensive generators (shingle arrays,
+        # per-row transforms ahead of explode) that doubles the dominant
+        # cost and runs it below the parallelizing exchange. The rule only
+        # saves work for rows with empty arrays — not worth it here.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
         # --- scan shape ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -1,0 +1,141 @@
+"""Streaming ingestion over the engine's data model.
+
+``stream_table`` tails a table directory as a file-source stream — new
+parquet files appearing under ``{root}/{db}/{table}/data/...`` become
+micro-batches (the writer side of the reference ecosystem appends exactly
+this way). Downstream: watermarked event-time windows / sessionization.
+
+Scale notes:
+- file-source streams list incrementally (maxFilesPerTrigger bounds batch
+  size); state for windows/sessions lives in the state store keyed by
+  (window, keys) — partitioned, no driver state;
+- the watermark bounds state: late rows beyond it are dropped, so state
+  size is O(active windows × keys), independent of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NS_PER_S = 1_000_000_000
+
+
+def stream_table(
+    spark: SparkSession,
+    root: str,
+    db: str,
+    table: str,
+    schema=None,
+    max_files_per_trigger: int = 100,
+    subdir_glob: str | None = None,
+) -> DataFrame:
+    """readStream over a table's data directory (schema required by
+    Structured Streaming; infer from existing files when not given).
+
+    ``subdir_glob`` scopes the stream inside the data dir; when None, the
+    hive ``date=*/hour=*`` layout is auto-detected. This keeps ``tmp/``
+    dirs (half-written files, reference queryClient.go:496-499) out of
+    both partition discovery and the stream itself.
+    """
+    import os
+
+    base = f"{root}/{db}/{table}/data"
+    if subdir_glob is None:
+        try:
+            has_dates = any(e.startswith("date=") for e in os.listdir(base))
+        except OSError:
+            has_dates = False
+        subdir_glob = "date=*/hour=*" if has_dates else ""
+    path = f"{base}/{subdir_glob}" if subdir_glob else base
+    if schema is None:
+        schema = (
+            spark.read.option("mergeSchema", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(path)
+            .schema
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(path)
+    )
+
+
+def _event_time(df: DataFrame, time_col: str) -> DataFrame:
+    """Attach a TimestampType event-time column from the int64-ns time
+    model (µs truncation at the streaming edge — documented)."""
+    # integer division — ns values exceed double precision
+    return df.withColumn("_event_time", F.timestamp_micros(F.expr(f"{time_col} DIV 1000")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    time_col: str = "time",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming twin of the
+    batch ts_bucket query (inventory/timeseries.py)."""
+    with_time = _event_time(events, time_col).withWatermark("_event_time", watermark)
+    return with_time.groupBy(
+        F.window("_event_time", window).alias("win"), *[F.col(k) for k in keys]
+    ).agg(F.count("*").alias("n"))
+
+
+def sessionize_batch(
+    events: DataFrame,
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+    ticks_per_second: int = NS_PER_S,
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event exceeds ``gap_minutes``. Composition of two windows
+    (lag → cumulative sum) — one shuffle on the user key; this is also
+    the semantic oracle for the streaming session operator.
+
+    ``ticks_per_second`` sets the time column's unit (ns default; pass
+    1_000_000 for µs columns).
+    """
+    from pyspark.sql import Window
+
+    gap_ns = gap_minutes * 60 * ticks_per_second
+    w = Window.partitionBy(user_col).orderBy(F.col(time_col), F.col("event_id"))
+    prev = F.lag(F.col(time_col)).over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col(time_col) - prev) > gap_ns), 1
+    ).otherwise(0)
+    cum = Window.partitionBy(user_col).orderBy(F.col(time_col), F.col("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_session = events.withColumn("_new", new_session).withColumn(
+        "session_id", F.sum("_new").over(cum)
+    )
+    return with_session.groupBy(user_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+    )
+
+
+def windowed_counts_stream_to_memory(
+    spark: SparkSession,
+    stream: DataFrame,
+    query_name: str,
+    time_col: str = "time",
+    window: str = "5 minutes",
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Run the windowed aggregation with an availableNow trigger into an
+    in-memory sink (test/debug harness; production would writeStream to
+    parquet/Kafka)."""
+    agg = windowed_counts(stream, time_col=time_col, window=window)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
