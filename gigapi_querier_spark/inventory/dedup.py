@@ -103,25 +103,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_jaccard_pairs",
-    oracle=f"""
-WITH sh AS (
-  SELECT DISTINCT d.doc_id, d.lang, s.sh
-  FROM documents d
-  JOIN ({_ORACLE_SHINGLES}) s ON s.doc_id = d.doc_id
+    oracle="""
+WITH sets AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                      i -> array_to_string(w[i:i+2], ' '))) AS shs
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) words
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+sh AS (
+  SELECT doc_id, lang, CAST(len(shs) AS BIGINT) AS n, unnest(shs) AS sh FROM sets
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
+         max(a.n) AS na, max(b.n) AS nb
   FROM sh a JOIN sh b
     ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+       round(c * 1.0 / (na + nb - c), 4) AS jaccard
 FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.1
+WHERE round(c * 1.0 / (na + nb - c), 4) >= 0.1
 """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -233,16 +233,27 @@ def jaccard_pairs(
     they share at least one shingle inside a block, so disjoint documents
     cost nothing. Use after LSH when blocks would still be large.
     """
-    # Distinct shingle set as ONE array column; |set| comes from size()
-    # before exploding — no second aggregation over the exploded relation.
-    # The exploded relation feeds three plan branches (join sides + sizes),
-    # so persist it: one shingle computation instead of three.
+    # Distinct shingle set as ONE array column. Each exploded row CARRIES
+    # its document's set size — |A| and |B| ride through the join for
+    # free, so no size-lookup joins afterward (two fewer plan branches,
+    # and the exploded relation is read exactly twice — by the self-join
+    # sides — hence the persist).
     sets = shingle_relation(
         spread(df), id_col, text_col, width=width, extra_cols=block_cols, distinct=True
     )
     block = [F.col(c) for c in block_cols]
-    sh = sets.select(F.col(id_col), *block, F.explode("shs").alias("sh")).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))  # reuses the cache
+    # Persist hash-partitioned on the join keys: both self-join sides read
+    # the cache co-located, so the join itself needs no exchange.
+    sh = (
+        sets.select(
+            F.col(id_col),
+            *block,
+            F.size("shs").cast("long").alias("n"),
+            F.explode("shs").alias("sh"),
+        )
+        .repartition(F.col("sh"), *block)
+        .persist()
+    )
     a, b = sh.alias("a"), sh.alias("b")
     cond = (F.col("a.sh") == F.col("b.sh")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -254,14 +265,13 @@ def jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("c"),
+            F.max(F.col("a.n")).alias("na"),
+            F.max(F.col("b.n")).alias("nb"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     jac = F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4)
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )
