@@ -128,10 +128,15 @@ class QueryEngine:
 
     # ------------------------------------------------------------------
     def _run_sql(self, sql: str) -> DataFrame:
+        from gigapi_querier_spark.plans.sqlpass import QUALIFY_COL, rewrite_qualify
+
         try:
-            return self.spark.sql(to_spark_sql(sql))
+            df = self.spark.sql(to_spark_sql(rewrite_qualify(sql)))
         except Exception as e:  # surface as a 400-able error
             raise QueryError(str(e)) from e
+        if QUALIFY_COL in df.columns:
+            df = df.drop(QUALIFY_COL)
+        return df
 
     def _one_col_df(self, col: str, values: list[str]) -> DataFrame:
         schema = StructType([StructField(col, StringType())])

@@ -62,6 +62,7 @@ def _load() -> None:
         dedup,
         multimodal,
         relational,
+        relational2,
         similarity,
         textstats,
         timeseries,

@@ -81,7 +81,8 @@ def parse_time_literal_ns(literal: str) -> int | None:
 #: timestamp)[::TIMESTAMP]).
 _LIT = r"'([^']+)'"
 _WRAPPERS = (
-    _LIT,
+    # plain literal, optionally PG-cast: '...' or '...'::TIMESTAMP
+    _LIT + r"(?:::TIMESTAMP)?",
     rf"cast\s*\(\s*{_LIT}\s+as\s+timestamp\s*\)",
     rf"epoch_ns\s*\(\s*{_LIT}(?:::TIMESTAMP)?\s*\)",
     rf"epoch_ns\s*\(\s*cast\s*\(\s*{_LIT}\s+as\s+timestamp\s*\)(?:::TIMESTAMP)?\s*\)",
@@ -300,6 +301,73 @@ def to_spark_sql(sql: str) -> str:
     sql = _PG_CAST.sub(lambda m: f"TIMESTAMP '{m.group(1)}'", sql)
     sql = _PG_CAST_GENERIC.sub(lambda m: f"CAST({m.group(1)} AS {m.group(2)})", sql)
     return sql
+
+
+#: synthetic column the QUALIFY rewrite adds; the engine drops it after
+#: execution (engine.py).
+QUALIFY_COL = "__qualify__"
+
+_QUALIFY_KW = re.compile(r"\sQUALIFY\s", re.IGNORECASE)
+_TAIL_KW = re.compile(r"\s(ORDER\s+BY|LIMIT)\s", re.IGNORECASE)
+
+
+def _split_top_level_tail(s: str) -> tuple[str, str]:
+    """Split off a trailing ORDER BY / LIMIT that sits OUTSIDE any
+    parentheses (an ORDER BY inside an OVER(...) must stay put)."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _TAIL_KW.match(s, i)
+            if m:
+                return s[:i], s[i:]
+    return s, ""
+
+
+_FROM_KW = re.compile(r"\sFROM\s", re.IGNORECASE)
+
+
+def rewrite_qualify(sql: str) -> str:
+    """DuckDB ``QUALIFY <pred>`` → standard SQL Spark parses.
+
+    The predicate is appended to the query's own select list (so it can
+    reference any column of the source relation, projected or not), and
+    filtered one level up:
+
+        SELECT <sel>, (<pred>) AS __qualify__ FROM <rest>
+        → SELECT * FROM ( ... ) WHERE __qualify__ [ORDER BY|LIMIT tail]
+
+    The engine drops ``__qualify__`` from the result. Top-level QUALIFY
+    only; QUALIFY on a SELECT DISTINCT changes the distinct key —
+    documented limitations.
+    """
+    sql = normalize(sql)
+    m = _QUALIFY_KW.search(sql)
+    if not m:
+        return sql
+    body = sql[: m.start()]
+    pred, tail = _split_top_level_tail(sql[m.end() :])
+    fm = None
+    depth = 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and fm is None:
+            mm = _FROM_KW.match(body, i)
+            if mm:
+                fm = i
+                break
+    if fm is None:
+        return sql
+    body_with_pred = f"{body[:fm]}, ({pred.strip()}) AS {QUALIFY_COL}{body[fm:]}"
+    return (
+        f"SELECT * FROM ({body_with_pred}) __qw WHERE {QUALIFY_COL}{tail}"
+    )
 
 
 def strip_db_qualifier(sql: str, db_name: str, measurement: str) -> str:

@@ -98,3 +98,23 @@ def test_empty_time_range_errors(engine):
             " AND time <= '2030-01-02T00:00:00Z'",
             "mydb",
         )
+
+
+def test_qualify_shim(engine):
+    rows = engine.query_rows(
+        "SELECT location, temperature FROM weather"
+        " QUALIFY row_number() OVER (PARTITION BY location ORDER BY temperature DESC, time) = 1",
+        "mydb",
+    )
+    assert len(rows) == 3  # one top reading per location
+    assert set(rows[0].keys()) == {"location", "temperature"}
+
+
+def test_pg_cast_shim(engine):
+    rows = engine.query_rows(
+        "SELECT count(*) AS value FROM weather"
+        " WHERE time >= '2024-01-02T00:00:00'::TIMESTAMP"
+        "   AND time <= '2024-01-02T23:59:59'::TIMESTAMP",
+        "mydb",
+    )
+    assert rows == [{"value": 24}]
