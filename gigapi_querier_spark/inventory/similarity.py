@@ -79,6 +79,99 @@ def ann_lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_counts(t["embeddings"], _hyperplanes(spark, sf_dir))
 
 
+_CASE_BUCKET = """
+         (CASE WHEN list_sum(list_transform(range(1, 65), i -> {v}.e[i] * h1.e[i])) >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN list_sum(list_transform(range(1, 65), i -> {v}.e[i] * h2.e[i])) >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN list_sum(list_transform(range(1, 65), i -> {v}.e[i] * h3.e[i])) >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN list_sum(list_transform(range(1, 65), i -> {v}.e[i] * h4.e[i])) >= 0 THEN 8 ELSE 0 END)
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     q AS (SELECT e FROM a WHERE vec_id = 0),
+     h1 AS (SELECT e FROM a WHERE vec_id = 1),
+     h2 AS (SELECT e FROM a WHERE vec_id = 2),
+     h3 AS (SELECT e FROM a WHERE vec_id = 3),
+     h4 AS (SELECT e FROM a WHERE vec_id = 4),
+     bucketed AS (
+       SELECT a.vec_id, a.e, {_CASE_BUCKET.format(v="a")} AS bucket
+       FROM a, h1, h2, h3, h4
+     ),
+     qb AS (
+       SELECT {_CASE_BUCKET.format(v="q")} AS bucket
+       FROM q, h1, h2, h3, h4
+     )
+SELECT b.vec_id,
+       round(list_sum(list_transform(range(1, 65), i -> b.e[i] * q.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i] * q.e[i])))), 6)
+         AS cosine_sim
+FROM bucketed b, q, qb
+WHERE b.bucket = qb.bucket
+ORDER BY cosine_sim DESC, b.vec_id
+LIMIT 10
+""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN restricted to the query's LSH bucket — the 2^b-fold scan
+    reduction the scale path relies on (approximate by construction)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    q = _query_vec(spark, sf_dir, 0)
+    return S.lsh_topk(t["embeddings"], q, _hyperplanes(spark, sf_dir), k=10)
+
+
+_L2 = "list_sum(list_transform(range(1, 65), i -> ({a}.e[i] - {b}.e[i]) * ({a}.e[i] - {b}.e[i])))"
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     c AS (SELECT vec_id AS cid, e FROM a WHERE vec_id < 8),
+     q AS (SELECT e FROM a WHERE vec_id = 0),
+     assign AS (
+       SELECT vec_id, cid FROM (
+         SELECT a.vec_id, c.cid,
+                row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY {_L2.format(a="a", b="c")}, c.cid) AS rn
+         FROM a, c) t
+       WHERE rn = 1
+     ),
+     probes AS (
+       SELECT cid FROM (
+         SELECT c.cid,
+                row_number() OVER (ORDER BY {_L2.format(a="q", b="c")}, c.cid) AS rn
+         FROM c, q) t
+       WHERE rn <= 2
+     )
+SELECT a.vec_id,
+       round(list_sum(list_transform(range(1, 65), i -> a.e[i] * q.e[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> q.e[i] * q.e[i])))), 6)
+         AS cosine_sim
+FROM a
+JOIN assign ON assign.vec_id = a.vec_id
+JOIN probes ON probes.cid = assign.cid, q
+ORDER BY cosine_sim DESC, a.vec_id
+LIMIT 10
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: 8 fixed coarse centroids (vec_id < 8), probe the 2
+    nearest, exact cosine inside — the partition-pruned index layout a
+    100 TB ANN store uses (cluster id = partition key)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    q = _query_vec(spark, sf_dir, 0)
+    centroids = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in t["embeddings"].where("vec_id < 8").collect()
+    ]
+    return S.ivf_topk(t["embeddings"], q, centroids, k=10, n_probe=2)
+
+
 @register(
     "embedding_neardup_pairs",
     oracle="""

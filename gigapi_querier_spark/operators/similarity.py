@@ -113,6 +113,71 @@ def lsh_topk(
     return cosine_topk(bucketed, query, k=k, id_col=id_col, vec_col=vec_col, decimals=decimals)
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance via zip_with + left-fold aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (squared-L2). Returns (id, cid).
+
+    Centroids arrive as literals → broadcast-free: the assignment is a
+    pure map over the table (one pass, no join, no shuffle). At 100 TB
+    the cluster id becomes the partition/bucket key for the index layout.
+    """
+    v = _as_double(F.col(vec_col))
+    dists = F.array(
+        *[
+            F.struct(
+                l2sq(v, lit_vector(vec)).alias("d"), F.lit(int(cid)).alias("cid")
+            )
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_min(dists)
+    return df.select(F.col(id_col), best["cid"].alias("cid"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF-flat ANN: probe the ``n_probe`` clusters nearest the query and
+    run exact cosine top-k only inside them — the classic recall/cost
+    dial. Scan cost drops by ~len(centroids)/n_probe versus brute force.
+    """
+
+    def _l2sq(a: Sequence[float], b: Sequence[float]) -> float:
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+
+    probes = [
+        cid for cid, _ in sorted(centroids, key=lambda c: (_l2sq(query, c[1]), c[0]))
+    ][:n_probe]
+    assign = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    candidates = df.join(
+        assign.where(F.col("cid").isin(probes)), id_col, "left_semi"
+    )
+    return cosine_topk(
+        candidates, query, k=k, id_col=id_col, vec_col=vec_col, decimals=decimals
+    )
+
+
 def neardup_pairs(
     df: DataFrame,
     block_col: str,
