@@ -90,9 +90,28 @@ def sanitize_query(q: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+class _HeaderMiddleware(flight.ServerMiddleware):
+    def __init__(self, headers: dict):
+        self.headers = headers
+
+
+class _HeaderMiddlewareFactory(flight.ServerMiddlewareFactory):
+    """Captures the db-selection gRPC headers the reference reads
+    (bucket → database → namespace, flightsql.go:135-147)."""
+
+    def start_call(self, info, headers):
+        captured = {}
+        for key in ("bucket", "database", "namespace"):
+            vals = headers.get(key) or headers.get(key.encode()) or []
+            if vals:
+                v = vals[0]
+                captured[key] = v.decode() if isinstance(v, bytes) else v
+        return _HeaderMiddleware(captured)
+
+
 class GigapiFlightServer(flight.FlightServerBase):
     def __init__(self, engine: QueryEngine, location: str = "grpc://0.0.0.0:8082"):
-        super().__init__(location)
+        super().__init__(location, middleware={"headers": _HeaderMiddlewareFactory()})
         self.engine = engine
         self._location = location
         self._tickets: dict[str, tuple[float, pa.Table]] = {}
@@ -102,13 +121,11 @@ class GigapiFlightServer(flight.FlightServerBase):
     # -- helpers ----------------------------------------------------------
 
     def _db_from_context(self, context) -> str:
-        md = {}
         try:
-            for k, v in context.read_middleware("headers") or []:
-                md[k] = v
+            mw = context.get_middleware("headers")
+            md = mw.headers if mw else {}
         except Exception:
-            pass
-        # pyarrow exposes client headers via middleware; fall back to default
+            md = {}
         for key in ("bucket", "database", "namespace"):
             if md.get(key):
                 return md[key]

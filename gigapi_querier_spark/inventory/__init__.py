@@ -63,6 +63,7 @@ def _load() -> None:
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         textstats,
         timeseries,

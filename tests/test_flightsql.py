@@ -95,3 +95,22 @@ def test_do_put_rejected(client, server):
         )
         writer.write_table(pa.table({"a": [1]}))
         writer.close()
+
+
+def test_db_from_grpc_metadata(server, client):
+    # db via "bucket" header (reference reads bucket → database → namespace)
+    opts = flight.FlightCallOptions(headers=[(b"bucket", b"mydb")])
+    info = client.get_flight_info(
+        flight.FlightDescriptor.for_command(
+            b"SELECT count(*) AS n FROM weather"
+        ),
+        opts,
+    )
+    t = client.do_get(info.endpoints[0].ticket).read_all()
+    assert t.column("n")[0].as_py() == 84
+
+
+def test_sanitize_strips_control_chars():
+    from gigapi_querier_spark.flightsql import sanitize_query
+
+    assert sanitize_query("SELECT\n1\r\x08") == "SELECT 1"
