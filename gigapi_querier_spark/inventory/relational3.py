@@ -26,8 +26,10 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, RIGHT_JOIN, "lineitem", "supplier")
 
 
+# price_k deliberately unrounded: both engines compute the same IEEE
+# division, while round(x, 2) can disagree on exact .005 halfway cases.
 LATERAL = """
-SELECT o_orderkey, l.price_band, round(l.price_k, 2) AS price_k
+SELECT o_orderkey, l.price_band, l.price_k
 FROM orders,
 LATERAL (
   SELECT CASE WHEN o_totalprice >= 300000 THEN 'high' ELSE 'low' END AS price_band,
