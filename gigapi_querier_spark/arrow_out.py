@@ -57,12 +57,16 @@ def _to_ns_utc(col: pa.ChunkedArray) -> pa.ChunkedArray:
     if pa.types.is_timestamp(t):
         return col.cast(_NS_UTC)
     if pa.types.is_string(t):
-        # best-effort string timestamps (reference parses multiple layouts,
-        # flightsql.go:409-425); unparseable → null
-        import pyarrow.compute as pc
+        # string timestamps: try the same layouts the reference accepts
+        # (flightsql.go:409-425 — RFC3339[Nano], space/T-separated, with
+        # or without fractional seconds); per-value, unparseable → null.
+        from gigapi_querier_spark.plans.sqlpass import parse_time_literal_ns
 
-        try:
-            return pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="ns").cast(_NS_UTC)
-        except pa.ArrowInvalid:
-            return pa.chunked_array([pa.nulls(len(col), _NS_UTC)])
+        values = [
+            None
+            if v is None
+            else parse_time_literal_ns(str(v).replace(" ", "T", 1))
+            for v in col.to_pylist()
+        ]
+        return pa.chunked_array([pa.array(values, pa.int64()).cast(_NS_UTC)])
     return col.cast(_NS_UTC)

@@ -63,6 +63,11 @@ class QueryEngine:
         self.root = root or os.environ.get("GIGAPI_ROOT", "/data")
         self.catalog = Catalog(self.root)
         self.last_stats = QueryStats()
+        # Unified-schema cache (SURVEY.md §7.3 hard part 4): mergeSchema
+        # re-reads every footer per query — on a wide drifting table at
+        # 100 TB that's thousands of S3 GETs per request. Key includes the
+        # file set, so any new/changed file naturally misses the cache.
+        self._schema_cache: dict[tuple[str, str, frozenset[str]], object] = {}
 
     # ------------------------------------------------------------------
     def query(self, sql: str, db: str | None = None) -> DataFrame:
@@ -100,8 +105,16 @@ class QueryEngine:
             )
 
         t0 = time.perf_counter()
-        reader = self.spark.read.option("mergeSchema", "true")
-        df = reader.parquet(*files)
+        cache_key = (parsed.db_name, parsed.measurement, frozenset(files))
+        schema = self._schema_cache.get(cache_key)
+        if schema is None:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+            self._schema_cache[cache_key] = df.schema
+            if len(self._schema_cache) > 1024:
+                self._schema_cache.pop(next(iter(self._schema_cache)))
+        else:
+            # footer merging skipped entirely — schema applied directly
+            df = self.spark.read.schema(schema).parquet(*files)
         df.createOrReplaceTempView(parsed.measurement)
         run_sql = strip_db_qualifier(sql, parsed.db_name, parsed.measurement)
         # time-literal normalization (A10): comparisons against the int64-ns

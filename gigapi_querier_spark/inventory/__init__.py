@@ -64,6 +64,7 @@ def _load() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         similarity,
         textstats,
         timeseries,

@@ -1,0 +1,139 @@
+"""Relational coverage, batch 4: extended string functions, bitwise ops,
+correlation/regression aggregates, numeric histogram binning."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gigapi_querier_spark.inventory import register
+from gigapi_querier_spark.sources import load_tables
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str, *tables: str) -> DataFrame:
+    load_tables(spark, sf_dir, tables or None)
+    return spark.sql(query)
+
+
+STRING2 = """
+SELECT p_partkey,
+       translate(p_name, 'aeiou', '_____')  AS consonant_mask,
+       lpad(CAST(p_size AS STRING), 4, '0') AS padded_size,
+       rpad(p_brand, 12, '.')               AS padded_brand,
+       repeat('-', p_size % 5)              AS dashes,
+       reverse(p_name)                      AS reversed,
+       left(p_name, 3)                      AS prefix3,
+       right(p_name, 3)                     AS suffix3
+FROM part
+"""
+
+STRING2_ORACLE = """
+SELECT p_partkey,
+       translate(p_name, 'aeiou', '_____')   AS consonant_mask,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+       rpad(p_brand, 12, '.')                AS padded_brand,
+       repeat('-', p_size % 5)               AS dashes,
+       reverse(p_name)                       AS reversed,
+       left(p_name, 3)                       AS prefix3,
+       right(p_name, 3)                      AS suffix3
+FROM part
+"""
+
+
+@register("expr_string_funcs2", oracle=STRING2_ORACLE)
+def expr_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, STRING2, "part")
+
+
+@register(
+    "expr_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_linenumber & 3                    AS b_and,
+       l_linenumber | 8                    AS b_or,
+       xor(l_linenumber, 5)                AS b_xor,
+       l_linenumber << 2                   AS b_shl,
+       CAST(l_partkey AS BIGINT) >> 3      AS b_shr
+FROM lineitem
+""",
+)
+def expr_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+SELECT l_orderkey, l_linenumber,
+       l_linenumber & 3               AS b_and,
+       l_linenumber | 8               AS b_or,
+       l_linenumber ^ 5               AS b_xor,
+       shiftleft(l_linenumber, 2)     AS b_shl,
+       shiftright(l_partkey, 3)       AS b_shr
+FROM lineitem
+""",
+        "lineitem",
+    )
+
+
+@register(
+    "agg_corr_regr",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)          AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4)    AS qty_price_covar,
+       round(regr_slope(l_extendedprice, l_quantity), 4)    AS price_per_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS price_base
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)          AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4)    AS qty_price_covar,
+       round(regr_slope(l_extendedprice, l_quantity), 4)    AS price_per_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS price_base
+FROM lineitem GROUP BY l_returnflag
+""",
+        "lineitem",
+    )
+
+
+HISTOGRAM = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS bin_min,
+       round(max(o_totalprice), 2) AS bin_max
+FROM orders GROUP BY 1
+"""
+
+
+@register("agg_histogram_bins", oracle=HISTOGRAM)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, HISTOGRAM, "orders")
+
+
+@register(
+    "expr_greatest_least",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(greatest(l_discount, l_tax), 2) AS max_rate,
+       round(least(l_discount, l_tax), 2)    AS min_rate,
+       greatest(l_linenumber, 3)             AS gl_int
+FROM lineitem
+""",
+)
+def expr_greatest_least(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+SELECT l_orderkey, l_linenumber,
+       round(greatest(l_discount, l_tax), 2) AS max_rate,
+       round(least(l_discount, l_tax), 2)    AS min_rate,
+       greatest(l_linenumber, 3)             AS gl_int
+FROM lineitem
+""",
+        "lineitem",
+    )

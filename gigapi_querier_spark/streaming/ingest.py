@@ -121,6 +121,42 @@ def sessionize_batch(
     )
 
 
+def stateful_running_totals(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running (count, sum) that survives across micro-batches.
+
+    This is the escape hatch for operators Structured Streaming's built-in
+    windows can't express (bespoke session logic, decaying counters,
+    CUSUM-style detectors). State lives in the partitioned state store —
+    per-key, no driver memory; Arrow-batched on the Python side.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_counts_stream_to_memory(
     spark: SparkSession,
     stream: DataFrame,

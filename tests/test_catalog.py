@@ -65,3 +65,34 @@ def test_show_namespaces(root):
     assert cat.databases() == ["mydb", "otherdb"]
     assert cat.tables("mydb") == ["metrics", "weather"]
     assert cat.tables("missing") == []
+
+
+def test_json_index_wraps_catalog(root):
+    from gigapi_querier_spark.sources.index import JSONIndex, make_index
+
+    path, manifest = root
+    idx = make_index("json", path)
+    assert isinstance(idx, JSONIndex)
+    assert idx.databases() == ["mydb", "otherdb"]
+    assert len(idx.find_files("mydb", "weather")) == len(manifest["files"])
+
+
+def test_redis_index_gated():
+    from gigapi_querier_spark.sources.index import make_index
+
+    try:
+        import redis  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="redis"):
+            make_index("redis", "redis://localhost:6379/0")
+
+
+def test_unknown_index_kind():
+    import pytest as _pytest
+
+    from gigapi_querier_spark.sources.index import make_index
+
+    with _pytest.raises(ValueError):
+        make_index("zookeeper", "x")

@@ -118,3 +118,19 @@ def test_pg_cast_shim(engine):
         "mydb",
     )
     assert rows == [{"value": 24}]
+
+
+def test_schema_cache_hits_on_repeat(engine):
+    engine._schema_cache.clear()
+    engine.query_rows("SELECT count(*) AS value FROM weather", "mydb")
+    assert len(engine._schema_cache) == 1
+    # identical file set → cache hit (no new entry, same schema applied)
+    engine.query_rows("SELECT count(*) AS value FROM weather", "mydb")
+    assert len(engine._schema_cache) == 1
+    # different (pruned) file set → separate entry
+    engine.query_rows(
+        "SELECT count(*) AS value FROM weather"
+        " WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z'",
+        "mydb",
+    )
+    assert len(engine._schema_cache) == 2

@@ -67,3 +67,27 @@ def test_arrow_us_timestamp_upcast_to_ns():
     out = normalize_arrow(t)
     assert out.schema.field("time").type == pa.timestamp("ns", tz="UTC")
     assert out.column("time")[0].value == 1704067200000000000
+
+
+def test_arrow_string_timestamp_layouts():
+    # the reference accepts RFC3339[Nano] and space/T forms
+    # (flightsql.go:409-425); unparseable → null
+    t = pa.table(
+        {
+            "time_str": [
+                "2024-01-02T03:04:05Z",
+                "2024-01-02 03:04:05",
+                "2024-01-02T03:04:05.123456789",
+                "not a timestamp",
+                None,
+            ]
+        }
+    )
+    out = normalize_arrow(t)
+    col = out.column("time_str")
+    assert out.schema.field("time_str").type == pa.timestamp("ns", tz="UTC")
+    base = 1704164645_000000000
+    assert col[0].value == base
+    assert col[1].value == base
+    assert col[2].value == base + 123456789
+    assert col[3].as_py() is None and col[4].as_py() is None
