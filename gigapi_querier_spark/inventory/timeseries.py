@@ -23,14 +23,19 @@ NS_PER_S = 1_000_000_000
 # Scale: pure map-side arithmetic + one partial-aggregated shuffle on
 # (bucket, type); no window function needed.
 # --------------------------------------------------------------------------
+# avg is emitted as round(sum,2)/n, NOT round(avg(value),4): the rounded
+# sum is identical cross-engine (2-decimal inputs never sum to an exact
+# .005 half), so the quotient is the same IEEE double bit-for-bit —
+# whereas rounding an average whose divisor is a power of two hits exact
+# half boundaries where Spark and DuckDB round differently.
 @register(
     "ts_bucket_5m",
     oracle="""
 SELECT (epoch_ns(ts) // 300000000000) * 300 AS bucket_s,
        event_type,
-       count(*)             AS n,
-       round(sum(value), 2) AS sum_value,
-       round(avg(value), 4) AS avg_value
+       count(*)                        AS n,
+       round(sum(value), 2)            AS sum_value,
+       round(sum(value), 2) / count(*) AS avg_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -45,7 +50,7 @@ def ts_bucket_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
         )
     )
 
