@@ -26,6 +26,28 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_stats(t["documents"])
 
 
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with keep-lowest-id semantics: one shuffle on the
+    content fingerprint; only (digest, id) pairs move, never documents."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select(F.md5("text").alias("fp"), F.col("doc_id"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
 # DuckDB mirror of operators/dedup.py:shingles (1-based inclusive slices).
 _ORACLE_SHINGLES = """
   SELECT doc_id,

@@ -116,14 +116,19 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Time-series: value-range window (moving average over trailing 10 min)
 # — both engines frame over µs so DuckDB's ns→µs truncation aligns.
 # --------------------------------------------------------------------------
+# The moving average is emitted as round(sum,2)/count over the frame, not
+# round(avg,4): 2-decimal values averaged over power-of-two frame sizes
+# land exactly on rounding halves where the engines' round() disagree;
+# the rounded frame-sum is cross-engine identical and its quotient is the
+# same IEEE double bit-for-bit.
 @register(
     "ts_moving_avg_10m",
     oracle="""
 SELECT event_id, user_id,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-                              RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 4)
-         AS mov_avg
+       round(sum(value) OVER w, 2) / count(*) OVER w AS mov_avg
 FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
 """,
 )
 def ts_moving_avg_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,10 +136,10 @@ def ts_moving_avg_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
 SELECT event_id, user_id,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY (ts DIV 1000)
-                              RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 4)
-         AS mov_avg
+       round(sum(value) OVER w, 2) / count(*) OVER w AS mov_avg
 FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY (ts DIV 1000)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
 """
     )
 
