@@ -23,6 +23,7 @@ skipping layered under the engine's file-level pruning.
 from __future__ import annotations
 
 import os
+import re
 import time
 from dataclasses import dataclass
 
@@ -140,7 +141,34 @@ class QueryEngine:
         return rows
 
     # ------------------------------------------------------------------
+    _READ_PARQUET = re.compile(
+        r"read_parquet\s*\(\s*(\[[^\]]*\]|'[^']*')\s*(?:,\s*union_by_name\s*=\s*\w+\s*)?\)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_read_parquet(self, sql: str) -> str:
+        """DuckDB ``read_parquet([...], union_by_name=true)`` compatibility —
+        the form the reference's own rewrite emits (queryClient.go:855-860),
+        so clients that captured such queries keep working. Each call is
+        bound to a temp view over the file list."""
+        counter = [0]
+
+        def bind(m: re.Match) -> str:
+            files = re.findall(r"'([^']+)'", m.group(1))
+            if not files:
+                return m.group(0)
+            view = f"__read_parquet_{counter[0]}"
+            counter[0] += 1
+            self.spark.read.option("mergeSchema", "true").parquet(
+                *files
+            ).createOrReplaceTempView(view)
+            return view
+
+        return self._READ_PARQUET.sub(bind, sql)
+
     def _run_sql(self, sql: str) -> DataFrame:
+        if "read_parquet" in sql.lower():
+            sql = self._rewrite_read_parquet(sql)
         from gigapi_querier_spark.plans.sqlpass import QUALIFY_COL, rewrite_qualify
 
         try:

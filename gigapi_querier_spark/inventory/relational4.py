@@ -115,6 +115,58 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_bool_bit",
+    oracle="""
+SELECT l_returnflag,
+       bool_and(l_quantity > 0)       AS all_positive,
+       bool_or(l_discount > 0.09)     AS any_big_discount,
+       bit_and(l_linenumber)          AS lines_bit_and,
+       CAST(bit_or(l_linenumber) AS INT) AS lines_bit_or
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+SELECT l_returnflag,
+       bool_and(l_quantity > 0)       AS all_positive,
+       bool_or(l_discount > 0.09)     AS any_big_discount,
+       bit_and(l_linenumber)          AS lines_bit_and,
+       bit_or(l_linenumber)           AS lines_bit_or
+FROM lineitem GROUP BY l_returnflag
+""",
+        "lineitem",
+    )
+
+
+@register(
+    "expr_try_cast",
+    oracle="""
+SELECT p_partkey,
+       TRY_CAST(p_brand AS INT)                        AS brand_as_int,
+       TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+       TRY_CAST(p_size AS VARCHAR)                     AS size_str
+FROM part
+""",
+)
+def expr_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+SELECT p_partkey,
+       TRY_CAST(p_brand AS INT)                        AS brand_as_int,
+       TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+       TRY_CAST(p_size AS STRING)                      AS size_str
+FROM part
+""",
+        "part",
+    )
+
+
+@register(
     "expr_greatest_least",
     oracle="""
 SELECT l_orderkey, l_linenumber,

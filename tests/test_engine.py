@@ -134,3 +134,20 @@ def test_schema_cache_hits_on_repeat(engine):
         "mydb",
     )
     assert len(engine._schema_cache) == 2
+
+
+def test_read_parquet_compat(engine):
+    # the form the reference's own rewrite emits (read_parquet list +
+    # union_by_name) must keep working for captured client queries
+    rows = engine.query_rows(
+        "SELECT count(*) AS value FROM read_parquet("
+        "['/root/testdata/sf0.001/region.parquet'], union_by_name=true)"
+    )
+    assert rows == [{"value": 5}]
+
+
+def test_file_path_query_via_fallback(engine):
+    rows = engine.query_rows(
+        "SELECT count(*) AS value FROM parquet.`/root/testdata/sf0.001/nation.parquet`"
+    )
+    assert rows == [{"value": 25}]
