@@ -106,6 +106,54 @@ def decode_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+    ]
+)
+
+
+def resize(df: DataFrame, width: int, height: int, fake_decode: bool = False) -> DataFrame:
+    """Resize stage via mapInPandas: payload → decoded → resized → re-encoded.
+
+    The codec is stubbed (no imaging libs in this environment): with
+    ``fake_decode=True`` the 'resized' payload is a deterministic digest
+    chain carrying the target dims; without it, NotImplementedError at
+    execution — the distributed plumbing (schema, Arrow batching,
+    per-partition streaming) is the production shape either way.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "image codecs not available; pass fake_decode=True"
+                )
+            resized = [
+                hashlib.md5(bytes(p) + f":{width}x{height}".encode()).digest()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "n_bytes": [len(r) for r in resized],
+                    "checksum": [r.hex() for r in resized],
+                    "target_w": width,
+                    "target_h": height,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: emit one row per N-byte stride of the
     payload — the explode-per-asset plumbing a video frame sampler uses.

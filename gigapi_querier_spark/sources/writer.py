@@ -1,0 +1,112 @@
+"""Reference-layout table writer — the producer side of the data model.
+
+The reference querier is read-only; its companion writer lays data out as
+
+    {root}/{db}/{table}/data/date=YYYY-MM-DD/hour=HH/*.parquet
+    + per-folder metadata.json  ({min_time, max_time, files:[...]} —
+      querier/queryClient.go:340-356)
+
+This module writes that layout from any DataFrame with an int64-ns time
+column, so the engine's catalog pruning (and the reference itself) can
+query the result.
+
+Scale: the write is a standard ``partitionBy("date", "hour")`` parquet
+write — fully distributed, one task per output partition split. Only the
+metadata.json generation is driver-side, and it reads parquet *footers*
+(not data) for min/max stats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NS_PER_S = 1_000_000_000
+
+
+def write_table(
+    df: DataFrame,
+    root: str,
+    db: str,
+    table: str,
+    time_col: str = "time",
+    mode: str = "append",
+) -> str:
+    """Write ``df`` as a reference-layout table; returns the table path.
+
+    ``time_col`` must be int64 epoch ns (the engine's time model); the
+    hive ``date``/``hour`` partition columns are derived from it.
+    """
+    base = os.path.join(root, db, table, "data")
+    ts = F.timestamp_micros(F.expr(f"{time_col} DIV 1000"))
+    (
+        df.withColumn("date", F.date_format(ts, "yyyy-MM-dd"))
+        .withColumn("hour", F.lpad(F.hour(ts).cast("string"), 2, "0"))
+        .write.partitionBy("date", "hour")
+        .mode(mode)
+        .parquet(base)
+    )
+    write_metadata(base, time_col=time_col)
+    return os.path.join(root, db, table)
+
+
+def write_metadata(base: str, time_col: str = "time") -> int:
+    """Generate per-folder metadata.json from parquet footer statistics
+    (no data reads). Returns the number of folders written."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for dirpath, dirnames, filenames in os.walk(base):
+        dirnames[:] = [d for d in dirnames if d != "tmp"]
+        parquet_files = sorted(f for f in filenames if f.endswith(".parquet"))
+        if not parquet_files:
+            continue
+        entries = []
+        for name in parquet_files:
+            fpath = os.path.join(dirpath, name)
+            meta = pq.ParquetFile(fpath).metadata
+            min_t = max_t = None
+            time_idx = None
+            schema = meta.schema
+            for i in range(len(schema)):
+                if schema.column(i).name == time_col:
+                    time_idx = i
+                    break
+            if time_idx is not None:
+                for rg in range(meta.num_row_groups):
+                    stats = meta.row_group(rg).column(time_idx).statistics
+                    if stats is None or not stats.has_min_max:
+                        continue
+                    lo, hi = stats.min, stats.max
+                    min_t = lo if min_t is None else min(min_t, lo)
+                    max_t = hi if max_t is None else max(max_t, hi)
+            entries.append(
+                {
+                    "path": name,
+                    "size_bytes": os.path.getsize(fpath),
+                    "row_count": meta.num_rows,
+                    "min_time": min_t,
+                    "max_time": max_t,
+                }
+            )
+        folder_meta = {
+            "type": "parquet",
+            "parquet_size_bytes": sum(e["size_bytes"] for e in entries),
+            "row_count": sum(e["row_count"] for e in entries),
+            "min_time": min(
+                (e["min_time"] for e in entries if e["min_time"] is not None),
+                default=None,
+            ),
+            "max_time": max(
+                (e["max_time"] for e in entries if e["max_time"] is not None),
+                default=None,
+            ),
+            "files": entries,
+        }
+        with open(os.path.join(dirpath, "metadata.json"), "w") as f:
+            json.dump(folder_meta, f)
+        n += 1
+    return n

@@ -116,3 +116,12 @@ def test_multimodal_decode_fake_is_deterministic(spark, sf_dir):
     b = sorted(map(tuple, M.decode_features(assets, fake_decode=True).collect()))
     assert a == b
     assert all(64 <= r[3] < 64 + 1024 for r in a)  # width range
+
+
+def test_multimodal_resize_stub(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+    assets = M.to_assets(docs, "doc_id", "text", "image")
+    out = M.resize(assets, 224, 224, fake_decode=True).collect()
+    assert len(out) == 10
+    assert all(r["target_w"] == 224 and r["n_bytes"] == 16 for r in out)
+    assert all(r["checksum"] == bytes(r["payload"]).hex() for r in out)

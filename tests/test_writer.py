@@ -1,0 +1,77 @@
+"""Round-trip: write a reference-layout table from the events fixture,
+then query it through the engine with catalog pruning active."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gigapi_querier_spark.engine import QueryEngine
+from gigapi_querier_spark.sources.writer import write_table
+
+
+@pytest.fixture(scope="module")
+def written_root(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("written_root"))
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").alias("time"), "event_id", "user_id", "event_type", "value"
+    )
+    write_table(events, root, "mydb", "events", time_col="time")
+    return root
+
+
+def test_layout_shape(written_root):
+    base = os.path.join(written_root, "mydb", "events", "data")
+    dates = sorted(d for d in os.listdir(base) if d.startswith("date="))
+    assert dates and all(len(d) == len("date=2024-01-01") for d in dates)
+    hours = os.listdir(os.path.join(base, dates[0]))
+    assert any(h.startswith("hour=") for h in hours)
+
+
+def test_metadata_files_written(written_root):
+    base = os.path.join(written_root, "mydb", "events", "data")
+    metas = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(base)
+        for f in fs
+        if f == "metadata.json"
+    ]
+    assert metas
+    meta = json.load(open(metas[0]))
+    assert meta["row_count"] > 0
+    assert meta["min_time"] is not None and meta["max_time"] >= meta["min_time"]
+    assert all(e["path"].endswith(".parquet") for e in meta["files"])
+
+
+def test_engine_roundtrip_with_pruning(spark, written_root, sf_dir):
+    engine = QueryEngine(spark, root=written_root)
+    all_rows = engine.query_rows("SELECT count(*) AS value FROM events")
+    source_count = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert all_rows == [{"value": source_count}]
+
+    # time-ranged query must prune to a subset of files
+    engine.query_rows(
+        "SELECT count(*) AS value FROM events"
+        " WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z'"
+    )
+    pruned = engine.last_stats.n_files
+    engine.query_rows("SELECT count(*) AS value FROM events")
+    assert 0 < pruned < engine.last_stats.n_files
+
+
+def test_roundtrip_values_match_direct(spark, written_root, sf_dir):
+    engine = QueryEngine(spark, root=written_root)
+    got = engine.query_rows(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    )
+    exp = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r["event_type"]: r["n"] for r in got} == exp
