@@ -100,6 +100,38 @@ FROM lineitem GROUP BY l_returnflag
     )
 
 
+# Spark's skewness/kurtosis are population moments (g1, excess g2);
+# DuckDB's are sample-adjusted (G1, excess G2). The Spark side applies the
+# standard finite-sample adjustment so both emit G1/G2:
+#   G1 = g1 * sqrt(n(n-1)) / (n-2)
+#   G2 = ((n+1) g2 + 6) (n-1) / ((n-2)(n-3))
+@register(
+    "agg_stats2_moments",
+    oracle="""
+SELECT l_returnflag,
+       mode(l_linenumber)                    AS common_line,
+       round(skewness(l_extendedprice), 4)   AS skew_g1,
+       round(kurtosis(l_extendedprice), 4)   AS kurt_g2
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_stats2_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+SELECT l_returnflag,
+       mode(l_linenumber) AS common_line,
+       round(skewness(l_extendedprice)
+             * sqrt(count(*) * (count(*) - 1)) / (count(*) - 2), 4) AS skew_g1,
+       round(((count(*) + 1) * kurtosis(l_extendedprice) + 6)
+             * (count(*) - 1) / ((count(*) - 2) * (count(*) - 3)), 4) AS kurt_g2
+FROM lineitem GROUP BY l_returnflag
+""",
+        "lineitem",
+    )
+
+
 HISTOGRAM = """
 SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
        count(*) AS n,
