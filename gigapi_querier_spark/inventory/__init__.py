@@ -65,6 +65,7 @@ def _load() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         similarity,
         textstats,
         timeseries,
