@@ -8,11 +8,19 @@ SQL for the differential correctness gate.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gigapi_querier_spark import inventory
+# The driver may import this file by path; make the sibling package
+# importable regardless of how we were loaded.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from gigapi_querier_spark import inventory  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
