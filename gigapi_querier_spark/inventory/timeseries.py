@@ -154,6 +154,48 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Session-style gap analysis: per-user time deltas via lag over ns longs.
 # --------------------------------------------------------------------------
+# Forward as-of: for each signup, the EARLIEST purchase at-or-after it by
+# the same user (time-to-conversion analysis).
+@register(
+    "asof_signup_next_purchase",
+    oracle="""
+SELECT s.event_id,
+       s.user_id,
+       epoch_us(s.ts)    AS signup_us,
+       epoch_us(p.ts)    AS purchase_us,
+       round(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id AND s.ts <= p.ts
+""",
+)
+def asof_signup_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        signups,
+        purchases,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("signup_us"),
+        F.expr("ts_asof DIV 1000").alias("purchase_us"),
+        F.round("value_asof", 2).alias("purchase_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sessionization (30-min inactivity gap) — lag → cumulative-sum window
 # composition (streaming twin: streaming/ingest.py sessionize/windows).

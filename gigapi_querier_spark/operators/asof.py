@@ -29,21 +29,30 @@ def asof_join(
     value_cols: Sequence[str],
     suffix: str = "_asof",
     allow_exact_match: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each ``left`` row, attach the most recent ``right`` row with the
-    same ``on`` keys and ``right_time`` <= ``left_time`` (or strictly less
-    when ``allow_exact_match`` is False).
+    """For each ``left`` row, attach the nearest ``right`` row with the
+    same ``on`` keys: the most recent at-or-before (``direction=
+    "backward"``, default) or the earliest at-or-after (``"forward"``) —
+    strict inequality when ``allow_exact_match`` is False.
 
     Time columns may be any orderable type; the int64-ns ``time`` model is
     typical. Returns all left columns plus ``{v}{suffix}`` for each value
     column and ``{right_time}{suffix}``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     value_cols = list(value_cols)
 
-    # Tag sides and align schemas; right rows sort before left rows at an
-    # equal timestamp iff exact matches count.
-    right_side = 0 if allow_exact_match else 1
+    # Tag sides and align schemas. Sort position of right rows at an EQUAL
+    # timestamp decides exact-match semantics: backward scans carry the
+    # last preceding right row (right first ⇔ exact counts); forward scans
+    # take the first following right row (left first ⇔ exact counts).
+    if direction == "backward":
+        right_side = 0 if allow_exact_match else 1
+    else:
+        right_side = 1 if allow_exact_match else 0
     left_side = 1 - right_side
 
     lcols = [c for c in left.columns]
@@ -65,15 +74,17 @@ def asof_join(
 
     unioned = l_tagged.unionByName(r_tagged)
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__t"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(*on).orderBy(F.col("__t"), F.col("__side"))
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     def carry(c: str) -> Column:
         src = F.when(F.col("__side") == F.lit(right_side), F.col(c))
-        return F.last(src, ignorenulls=True).over(w)
+        if direction == "backward":
+            return F.last(src, ignorenulls=True).over(w)
+        return F.first(src, ignorenulls=True).over(w)
 
     out = unioned.select(
         *lcols,

@@ -114,3 +114,20 @@ def test_sanitize_strips_control_chars():
     from gigapi_querier_spark.flightsql import sanitize_query
 
     assert sanitize_query("SELECT\n1\r\x08") == "SELECT 1"
+
+
+def test_ticket_expiry(server, client):
+    import time as _time
+
+    from gigapi_querier_spark import flightsql as fsql
+
+    info = client.get_flight_info(flight.FlightDescriptor.for_command(b"SELECT 1 AS x"))
+    ticket = info.endpoints[0].ticket
+    # age the stored ticket past the TTL, then trigger expiry via a new call
+    with server._lock:
+        key = next(iter(server._tickets))
+        ts, table = server._tickets[key]
+        server._tickets[key] = (ts - fsql._TICKET_TTL_SEC - 1, table)
+    client.get_flight_info(flight.FlightDescriptor.for_command(b"SELECT 2 AS y"))
+    with pytest.raises(flight.FlightServerError):
+        client.do_get(ticket)

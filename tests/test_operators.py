@@ -125,3 +125,32 @@ def test_multimodal_resize_stub(spark, sf_dir):
     assert len(out) == 10
     assert all(r["target_w"] == 224 and r["n_bytes"] == 16 for r in out)
     assert all(r["checksum"] == bytes(r["payload"]).hex() for r in out)
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 100), (1, 260), (2, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 150, "a"), (1, 250, "b"), (1, 90, "z")], "k long, t long, v string"
+    )
+    out = {
+        (r["k"], r["t"]): (r["v_asof"], r["t_asof"])
+        for r in asof_join(
+            left, right, on=["k"], left_time="t", right_time="t",
+            value_cols=["v"], direction="forward",
+        ).collect()
+    }
+    assert out[(1, 100)] == ("a", 150)   # earliest at-or-after
+    assert out[(1, 260)] == (None, None)  # nothing after
+    assert out[(2, 10)] == (None, None)
+
+
+def test_asof_join_forward_exact(spark):
+    left = spark.createDataFrame([(1, 150)], "k long, t long")
+    right = spark.createDataFrame([(1, 150, "x"), (1, 200, "y")], "k long, t long, v string")
+    exact = asof_join(left, right, on=["k"], left_time="t", right_time="t",
+                      value_cols=["v"], direction="forward").collect()
+    assert exact[0]["v_asof"] == "x"
+    strict = asof_join(left, right, on=["k"], left_time="t", right_time="t",
+                       value_cols=["v"], direction="forward",
+                       allow_exact_match=False).collect()
+    assert strict[0]["v_asof"] == "y"

@@ -94,3 +94,22 @@ def test_show_databases(base_url):
     assert code == 200
     names = {r["database_name"] for r in json.loads(body)["results"]}
     assert names == {"mydb", "otherdb"}
+
+
+def test_concurrent_queries_share_session(base_url):
+    # ThreadingHTTPServer + one shared SparkSession: 8 parallel queries
+    # must all succeed with correct results (the reference likewise shares
+    # one DuckDB handle across request goroutines)
+    import concurrent.futures
+
+    def one(i: int):
+        code, body = _post(
+            base_url + "/query?db=mydb",
+            {"query": f"SELECT count(*) + {i} AS v FROM weather"},
+        )
+        return code, json.loads(body)["results"][0]["v"]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(8)))
+    assert all(code == 200 for code, _ in results)
+    assert [v for _, v in results] == [str(84 + i) for i in range(8)]
