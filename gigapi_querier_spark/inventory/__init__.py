@@ -52,6 +52,68 @@ def all_oracles() -> dict[str, str]:
 
 _LOADED = False
 
+# Registration order doubles as the correctness-gate priority: the driver
+# checks queries in queries() iteration order under a budget (round 1
+# checked exactly the first 50 of 89). Queries never yet covered by a
+# CORRECTNESS_r*.json row run first; the flagship/headline set follows so
+# it stays inside the checked window; everything else (green in round 1)
+# comes last. Update this list as rounds accumulate coverage.
+_PRIORITY: tuple[str, ...] = (
+    # -- never checked as of round 1 (similarity / text / time-series /
+    #    as-of / JSON / relational batches 3-5) --
+    "ann_cosine_topk",
+    "ann_lsh_bucket_counts",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_neardup_pairs",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_subword_counts",
+    "ts_bucket_5m",
+    "ts_daily_top_type",
+    "ts_sessionize",
+    "ts_user_gaps",
+    "json_extract_agg",
+    "asof_purchase_click",
+    "asof_signup_next_purchase",
+    "expr_array_ops",
+    "expr_null_funcs",
+    "expr_interval_arith",
+    "expr_map_ops",
+    "expr_date_format",
+    "expr_string_funcs2",
+    "expr_bitwise",
+    "expr_try_cast",
+    "expr_greatest_least",
+    "join_right_outer",
+    "join_lateral",
+    "set_intersect_all",
+    "set_except_all",
+    "agg_corr_regr",
+    "agg_stats2_moments",
+    "agg_histogram_bins",
+    "agg_bool_bit",
+    "agg_group_by_all",
+    "select_star_except",
+    "agg_percentile_within_group",
+    "sample_fraction",
+    "approx_distinct_sketch",
+    # -- flagship set (green in round 1; keep inside the checked window) --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_simhash",
+    "multimodal_asset_meta",
+    "multimodal_frame_sample",
+    "multimodal_decode_features",
+    "window_rank_topn",
+)
+
 
 def _load() -> None:
     """Import the inventory modules (side effect: populate REGISTRY)."""
@@ -71,4 +133,10 @@ def _load() -> None:
         timeseries,
     )
 
+    # Reorder: priority names first (in _PRIORITY order), the rest in
+    # module-registration order. dict preserves insertion order.
+    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    ordered.update({n: q for n, q in REGISTRY.items() if n not in ordered})
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     _LOADED = True
