@@ -80,6 +80,15 @@ def parse_time_literal_ns(literal: str) -> int | None:
 #: timestamp), epoch_ns('<lit>'[::TIMESTAMP]), epoch_ns(cast('<lit>' as
 #: timestamp)[::TIMESTAMP]).
 _LIT = r"'([^']+)'"
+
+#: ``time`` must be a standalone identifier: reject a preceding word char,
+#: ``.`` (qualified columns like ``events.time`` are left untouched — a
+#: rewrite would drop the qualifier) or ``"`` (quoted identifiers). The
+#: reference's own regexes lack this boundary (Go regexp has no lookbehind;
+#: querier/queryClient.go:199-218) so ``endtime >= '...'`` matches there —
+#: a bug class we deliberately do NOT reproduce.
+_TIME_IDENT = r"(?<![\w.\"])time"
+
 _WRAPPERS = (
     # plain literal, optionally PG-cast: '...' or '...'::TIMESTAMP
     _LIT + r"(?:::TIMESTAMP)?",
@@ -103,14 +112,56 @@ class TimeRange:
         return self.start is None and self.end is None
 
 
+def _has_top_level_disjunction(where_clause: str) -> bool:
+    """True when the WHERE clause has a top-level ``OR`` or ``NOT``
+    (outside parentheses and single-quoted literals). A time predicate
+    that is not a top-level AND-conjunct must NOT drive file pruning:
+    ``WHERE time >= X OR other_cond`` still admits rows from older files
+    via ``other_cond``. (The reference prunes only with both bounds but
+    shares this blind spot; we skip pruning instead.)"""
+    depth = 0
+    in_str = False
+    i, n = 0, len(where_clause)
+    while i < n:
+        ch = where_clause[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "oOnN":
+            tail = where_clause[i:]
+            if re.match(r"(?i)or(?:\s|\()", tail) or re.match(
+                r"(?i)not(?:\s|\()", tail
+            ):
+                # word-start check: previous char must not be part of an
+                # identifier (e.g. the 'or' in 'priority')
+                if i == 0 or not (where_clause[i - 1].isalnum() or where_clause[i - 1] in "_."):
+                    return True
+        i += 1
+    return False
+
+
 def extract_time_range(where_clause: str) -> TimeRange:
     """Extract ``[start_ns, end_ns]`` from a WHERE clause.
 
     Recognizes ``time (>=|>|<=|<|=|BETWEEN)`` against the four literal
     wrappers — the same 16 shapes as the reference, in one pass.
+    ``time`` must be a standalone identifier (``endtime``/``events.time``
+    never match), and extraction is skipped entirely when the clause has a
+    top-level OR/NOT — in both cases pruning on the extracted bound would
+    be unsound.
     """
     tr = TimeRange()
     if not where_clause:
+        return tr
+    if _has_top_level_disjunction(where_clause):
         return tr
 
     start_ns: int | None = None
@@ -121,7 +172,7 @@ def extract_time_range(where_clause: str) -> TimeRange:
     for wrapper in _WRAPPERS:
         # BETWEEN <w> AND <w>
         for m in re.finditer(
-            rf"time\s+BETWEEN\s+{wrapper}\s+AND\s+{wrapper}",
+            rf"{_TIME_IDENT}\s+BETWEEN\s+{wrapper}\s+AND\s+{wrapper}",
             where_clause,
             re.IGNORECASE,
         ):
@@ -131,14 +182,16 @@ def extract_time_range(where_clause: str) -> TimeRange:
                 start_ns, end_ns = s, e
                 start_op, end_op = ">=", "<="
         # time = <w>
-        for m in re.finditer(rf"time\s*=\s*{wrapper}", where_clause, re.IGNORECASE):
+        for m in re.finditer(
+            rf"{_TIME_IDENT}\s*=\s*{wrapper}", where_clause, re.IGNORECASE
+        ):
             v = parse_time_literal_ns(m.group(1))
             if v is not None:
                 start_ns = end_ns = v
                 start_op, end_op = ">=", "<="
         # time >=/>/<=/< <w>
         for m in re.finditer(
-            rf"time\s*(>=|>|<=|<)\s*{wrapper}", where_clause, re.IGNORECASE
+            rf"{_TIME_IDENT}\s*(>=|>|<=|<)\s*{wrapper}", where_clause, re.IGNORECASE
         ):
             v = parse_time_literal_ns(m.group(2))
             if v is None:
@@ -264,7 +317,7 @@ def rewrite_time_literals(sql: str) -> str:
             return m.group(0) if a is None or b is None else f"time BETWEEN {a} AND {b}"
 
         sql = re.sub(
-            rf"time\s+BETWEEN\s+{wrapper}\s+AND\s+{wrapper}",
+            rf"{_TIME_IDENT}\s+BETWEEN\s+{wrapper}\s+AND\s+{wrapper}",
             _sub_between,
             sql,
             flags=re.IGNORECASE,
@@ -275,7 +328,7 @@ def rewrite_time_literals(sql: str) -> str:
             return m.group(0) if v is None else f"time {m.group(1)} {v}"
 
         sql = re.sub(
-            rf"time\s*(>=|>|<=|<|=)\s*{wrapper}",
+            rf"{_TIME_IDENT}\s*(>=|>|<=|<|=)\s*{wrapper}",
             _sub_cmp,
             sql,
             flags=re.IGNORECASE,
@@ -372,9 +425,23 @@ def rewrite_qualify(sql: str) -> str:
 
 def strip_db_qualifier(sql: str, db_name: str, measurement: str) -> str:
     """Rewrite ``FROM db.table`` → ``FROM table`` so the bound temp view
-    resolves (temp views live outside database namespaces)."""
+    resolves (temp views live outside database namespaces).
+
+    The rewrite fires only in FROM/JOIN position and never inside
+    single-quoted string literals — a blind ``re.sub`` over the whole
+    text is the reference's own bug class (string splicing,
+    querier/queryClient.go:844-846) and corrupts literals/comments that
+    happen to contain ``db.table``.
+    """
     if not db_name:
         return sql
-    return re.sub(
-        rf"\b{re.escape(db_name)}\.{re.escape(measurement)}\b", measurement, sql
+    pat = re.compile(
+        rf"((?:\bFROM|\bJOIN|,)\s+){re.escape(db_name)}\.{re.escape(measurement)}\b",
+        re.IGNORECASE,
     )
+    # Split on single-quoted literals (with '' escapes); rewrite only the
+    # unquoted segments.
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    for i in range(0, len(parts), 2):
+        parts[i] = pat.sub(rf"\g<1>{measurement}", parts[i])
+    return "".join(parts)

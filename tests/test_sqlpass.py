@@ -12,7 +12,11 @@ from gigapi_querier_spark.plans import (
     parse_query,
     to_spark_sql,
 )
-from gigapi_querier_spark.plans.sqlpass import ParseError, strip_db_qualifier
+from gigapi_querier_spark.plans.sqlpass import (
+    ParseError,
+    rewrite_time_literals,
+    strip_db_qualifier,
+)
 
 NS = 1_000_000_000
 
@@ -137,3 +141,50 @@ def test_rewrite_qualify_preserves_tail():
         "SELECT x FROM t QUALIFY rank() OVER (ORDER BY x) <= 2 ORDER BY x LIMIT 5"
     )
     assert out.endswith("ORDER BY x LIMIT 5")
+
+
+def test_time_ident_boundary_not_matched():
+    # ADVICE r1 (high): columns merely ending in "time" must not be treated
+    # as the engine's time column — neither for pruning nor literal folding.
+    tr = extract_time_range("endtime >= '2026-01-01T00:00:00'")
+    assert tr.is_empty
+    tr = extract_time_range("event_time BETWEEN '2026-01-01T00:00:00' AND '2026-01-02T00:00:00'")
+    assert tr.is_empty
+    sql = "SELECT * FROM t WHERE endtime >= '2026-01-01T00:00:00'"
+    assert rewrite_time_literals(sql) == sql
+    # qualified columns stay untouched too (a rewrite would drop the qualifier)
+    sql_q = "SELECT * FROM t WHERE events.time >= '2026-01-01T00:00:00'"
+    assert rewrite_time_literals(sql_q) == sql_q
+    assert extract_time_range("events.time >= '2026-01-01T00:00:00'").is_empty
+    # the bare column still works
+    tr = extract_time_range("time >= '2026-01-01T00:00:00'")
+    assert tr.start is not None
+
+
+def test_time_range_skipped_on_top_level_or():
+    # ADVICE r1 (medium): a time bound that is not a top-level AND-conjunct
+    # must not prune files.
+    tr = extract_time_range("time >= '2026-01-01T00:00:00' OR type = 'a'")
+    assert tr.is_empty
+    tr = extract_time_range("NOT (time >= '2026-01-01T00:00:00')")
+    assert tr.is_empty
+    # OR nested inside parens is still a safe AND-conjunct overall
+    tr = extract_time_range("time >= '2026-01-01T00:00:00' AND (a = 1 OR b = 2)")
+    assert tr.start is not None
+    # OR inside a string literal is not boolean structure
+    tr = extract_time_range("time >= '2026-01-01T00:00:00' AND note = 'x OR y'")
+    assert tr.start is not None
+    # identifiers containing 'or'/'not' don't trigger the skip
+    tr = extract_time_range("time >= '2026-01-01T00:00:00' AND priority = 1")
+    assert tr.start is not None
+
+
+def test_strip_db_qualifier_position_aware():
+    # VERDICT r1 wrong#2: never rewrite inside string literals; only
+    # FROM/JOIN position.
+    sql = "SELECT * FROM mydb.weather WHERE note = 'see mydb.weather docs'"
+    out = strip_db_qualifier(sql, "mydb", "weather")
+    assert out == "SELECT * FROM weather WHERE note = 'see mydb.weather docs'"
+    sql2 = "SELECT * FROM mydb.weather w JOIN mydb.weather x ON w.id = x.id"
+    out2 = strip_db_qualifier(sql2, "mydb", "weather")
+    assert out2 == "SELECT * FROM weather w JOIN weather x ON w.id = x.id"
