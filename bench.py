@@ -3,10 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully executed (collect) so the number covers scan → shuffle
-→ result materialization, mirroring how the reference measures its
-end-to-end query latency (file-discovery + query + fetch timing logs,
-querier/queryClient.go:442-445, :863, :922).
+Each query is fully executed and its complete result materialized on the
+driver as an Arrow table (``df.toArrow()``), so the number covers scan →
+shuffle → result transfer. Arrow is the reference's own result edge — its
+FlightSQL endpoint streams Arrow record batches (flightsql.go DoGet) — and
+the symmetric DuckDB baseline (tools/baseline_duckdb.py) materializes via
+``.arrow()`` under the same warmup + min-of-2 protocol.
 """
 
 from __future__ import annotations
@@ -56,7 +58,7 @@ def main() -> None:
     # All data caches are then CLEARED so measured queries still pay full
     # scan/shuffle/compute cost on cold data.
     for name in HEADLINE:
-        qs[name](spark, SF_DIR).collect()
+        qs[name](spark, SF_DIR).toArrow()
     spark.catalog.clearCache()
 
     # Two measured passes, per-query MIN: the host is time-shared and
@@ -66,7 +68,7 @@ def main() -> None:
     for _ in range(2):
         for name in HEADLINE:
             t0 = time.perf_counter()
-            rows = qs[name](spark, SF_DIR).collect()
+            rows = qs[name](spark, SF_DIR).toArrow()
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
             del rows

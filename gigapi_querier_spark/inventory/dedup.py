@@ -56,20 +56,30 @@ _ORACLE_SHINGLES = """
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) words
 """
 
-# numeric min-hash: top 60 bits of the salted md5 as int64 (bit-for-bit
-# what operators/dedup.py computes via conv(..., 16, 10))
-_H = "min(('0x' || substring(md5(concat('{i}:', sh)), 1, 15))::BIGINT) AS h{i}"
-_ORACLE_SIGS = f"""
+# Min-wise universal hashing, bit-for-bit what operators/dedup.py computes:
+# x = first 28 bits of md5(shingle); h_i = min (A_i*x + B_i) mod P.
+_H = "min(({a} * x + {b}) % 2147483647) AS h{i}"
+_ORACLE_SIGS = """
   SELECT doc_id,
-         {", ".join(_H.format(i=i) for i in range(8))}
-  FROM ({_ORACLE_SHINGLES}) shingles
+         {hs}
+  FROM (SELECT doc_id, ('0x' || substring(md5(sh), 1, 7))::BIGINT AS x
+        FROM ({shingles}) shingles) xs
   GROUP BY doc_id
 """
 
 
+def _oracle_sigs() -> str:
+    from gigapi_querier_spark.operators.dedup import MINHASH_A, MINHASH_B
+
+    hs = ", ".join(
+        _H.format(a=MINHASH_A[i], b=MINHASH_B[i], i=i) for i in range(8)
+    )
+    return _ORACLE_SIGS.format(hs=hs, shingles=_ORACLE_SHINGLES)
+
+
 @register(
     "dedup_minhash_signatures",
-    oracle=f"SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM ({_ORACLE_SIGS}) s",
+    oracle=f"SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM ({_oracle_sigs()}) s",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
@@ -79,7 +89,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
-WITH sigs AS ({_ORACLE_SIGS}),
+WITH sigs AS ({_oracle_sigs()}),
 bands AS (
   SELECT doc_id, 0 AS band, md5(concat(h0::VARCHAR, ':', h1::VARCHAR)) AS bv FROM sigs
   UNION ALL SELECT doc_id, 1, md5(concat(h2::VARCHAR, ':', h3::VARCHAR)) FROM sigs
@@ -98,20 +108,30 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    votes = ",\n         ".join(
-        f"sum(CASE WHEN (strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) % 2 = 1"
-        f" THEN 1 ELSE -1 END) AS v{i}"
-        for i in range(16)
+    # Same integer form as operators/dedup.py:simhash16 — the 16 hex
+    # digits parse once into two 32-bit ints; bit i = LSB of digit i.
+    def bit(i: int) -> str:
+        x, j = ("x1", i) if i < 8 else ("x2", i - 8)
+        return f"(({x} >> {4 * (7 - j)}) & 1)"
+
+    votes = ",\n         ".join(f"sum({bit(i)}) AS s{i}" for i in range(16))
+    bits = " + ".join(
+        f"(CASE WHEN s{i} * 2 > cnt THEN {1 << i} ELSE 0 END)" for i in range(16)
     )
-    bits = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
     return f"""
 WITH words AS (
   SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
 ),
-votes AS (
+ints AS (
   SELECT doc_id,
+         ('0x' || substring(h, 1, 8))::BIGINT AS x1,
+         ('0x' || substring(h, 9, 8))::BIGINT AS x2
+  FROM words
+),
+votes AS (
+  SELECT doc_id, count(*) AS cnt,
          {votes}
-  FROM words GROUP BY doc_id
+  FROM ints GROUP BY doc_id
 )
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
 """
