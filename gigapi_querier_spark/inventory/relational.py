@@ -50,9 +50,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Join + agg + top-k: TPC-H Q3-shaped shipping priority.
-# Scale: customer is a dimension → broadcast hint removes one shuffle;
-# orders⋈lineitem shuffles on orderkey; ORDER BY + LIMIT plans as
-# TakeOrderedAndProject (no global sort).
+# Scale: join strategies are size-decided (no hints) — orders⋈lineitem
+# shuffles on orderkey once both outgrow the broadcast threshold; ORDER BY
+# + LIMIT plans as TakeOrderedAndProject (no global sort).
 # --------------------------------------------------------------------------
 Q3_BODY = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
@@ -71,20 +71,19 @@ LIMIT 10
 
 @register("q3_shipping_priority", oracle=Q3_BODY)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark,
-        sf_dir,
-        "SELECT /*+ BROADCAST(customer) */ " + Q3_BODY.lstrip()[len("SELECT ") :],
-        "customer",
-        "orders",
-        "lineitem",
-    )
+    # No join hints: TPC-H "dimensions" (customer, orders) grow with SF,
+    # so a hardcoded BROADCAST is wrong at 100 TB. Size-based planning +
+    # AQE picks broadcast exactly when the (filtered) side fits the
+    # threshold and sort-merge otherwise — measured as fast as the best
+    # hand hint locally.
+    return _sql(spark, sf_dir, Q3_BODY, "customer", "orders", "lineitem")
 
 
 # --------------------------------------------------------------------------
 # 6-way star join: TPC-H Q5-shaped local-supplier revenue.
-# Scale: all dimensions broadcast; the only shuffle is lineitem⋈orders on
-# orderkey plus the final 5-group aggregation.
+# Scale: fixed-size dims (region, nation) broadcast at any SF; the growing
+# relations shuffle on their keys once past the threshold, AQE re-planning
+# from runtime sizes. Final 5-group aggregation is one tiny exchange.
 # --------------------------------------------------------------------------
 Q5_BODY = """
 SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -103,11 +102,14 @@ GROUP BY n_name
 
 @register("q5_local_supplier_volume", oracle=Q5_BODY)
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hint-free on purpose (see q3): region/nation stay broadcast at any
+    # scale via size estimates; customer/supplier/orders flip to shuffle
+    # joins when they outgrow the threshold, with AQE re-planning from
+    # runtime sizes. Declarative > hardcoded join strategy.
     return _sql(
         spark,
         sf_dir,
-        "SELECT /*+ BROADCAST(region, nation, customer, supplier) */ "
-        + Q5_BODY.lstrip()[len("SELECT ") :],
+        Q5_BODY,
         "region",
         "nation",
         "customer",
