@@ -59,6 +59,8 @@ _LOADED = False
 # it stays inside the checked window; everything else (green in round 1)
 # comes last. Update this list as rounds accumulate coverage.
 _PRIORITY: tuple[str, ...] = (
+    # -- new in round 2 (no CORRECTNESS row yet) --
+    "ann_batch_topk",
     # -- never checked as of round 1 (similarity / text / time-series /
     #    as-of / JSON / relational batches 3-5) --
     "ann_cosine_topk",

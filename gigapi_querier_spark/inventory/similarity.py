@@ -184,6 +184,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_batch_topk",
+    oracle=f"""
+WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     q AS (SELECT vec_id AS query_id, e AS qe FROM a WHERE vec_id < 16),
+     sims AS (
+       SELECT q.query_id, a.vec_id,
+              round(list_sum(list_transform(range(1, 65), i -> a.e[i] * q.qe[i]))
+                    / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+                     * sqrt(list_sum(list_transform(range(1, 65), i -> q.qe[i] * q.qe[i])))), 6)
+                AS cosine_sim
+       FROM a, q
+     )
+SELECT query_id, vec_id, cosine_sim FROM (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id) AS rn
+  FROM sims) t
+WHERE rn <= 10
+""",
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: top-10 neighbors for 16 probe vectors in ONE corpus
+    pass (mapInPandas partial top-k + tiny candidate shuffle) — the
+    retrieval-evaluation workload a training pipeline runs, vs 16
+    sequential scans."""
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.cosine_topk_batch(emb, queries, k=10)
+
+
+@register(
     "embedding_neardup_pairs",
     oracle="""
 WITH a AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)

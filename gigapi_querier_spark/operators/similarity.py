@@ -96,6 +96,78 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    decimals: int = 6,
+) -> DataFrame:
+    """Batch ANN: exact cosine top-k for EVERY query vector in one pass —
+    the retrieval-evaluation workload (N probes against the corpus), not N
+    sequential single-query scans.
+
+    Plan: the (small) query set broadcasts to every partition inside a
+    ``mapInPandas`` closure; each Arrow batch of corpus vectors computes
+    sims for ALL queries as ONE (batch × dim) @ (dim × nq) BLAS multiply
+    and emits only its per-query top-k candidates (k·nq rows per batch —
+    a partial top-k, the map-side combine of retrieval). A final
+    per-query window over the surviving candidates picks the global
+    top-k. Shuffle volume is O(partitions · nq · k), never O(corpus).
+
+    At 100 TB: corpus partitions stream, the only exchange is the tiny
+    candidate set — same shape as a distributed IVF/HNSW serving tier's
+    scatter-gather. ``queries`` must be collectable (it is the probe set).
+    """
+    from pyspark.sql import Window
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    qmat = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])  # (nq, d)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    nq = len(qids)
+
+    out_schema = f"{query_id_col} long, {id_col} long, cosine_sim double"
+
+    def _partial_topk(batches):
+        for pdf in batches:
+            m = _mat(pdf[vec_col])
+            if m.size == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            sims = (m @ qmat.T) / (norms[:, None] * qnorm[None, :])  # (n, nq)
+            # per query: the batch's 2k best rows (margin so rounding-ties
+            # at the k boundary can still resolve to the lowest id
+            # globally, matching the oracle's deterministic order)
+            kk = min(2 * k, sims.shape[0])
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(qids, kk),
+                    id_col: ids[part].T.reshape(-1),
+                    "cosine_sim": np.take_along_axis(sims, part, axis=0).T.reshape(-1),
+                }
+            )
+
+    candidates = df.select(id_col, vec_col).mapInPandas(_partial_topk, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round(F.col("cosine_sim"), decimals)), F.col(id_col)
+    )
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(F.col("cosine_sim"), decimals).alias("cosine_sim"),
+        )
+    )
+
+
 def lsh_bucket(vec: Column, hyperplanes: Sequence[Sequence[float]]) -> Column:
     """Sign-random-projection bucket id: bit j = sign(vec · hyperplane_j).
 

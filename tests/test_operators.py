@@ -154,3 +154,29 @@ def test_asof_join_forward_exact(spark):
                        value_cols=["v"], direction="forward",
                        allow_exact_match=False).collect()
     assert strict[0]["v_asof"] == "y"
+
+
+def test_cosine_topk_batch_matches_single(spark, sf_dir):
+    """Batch ANN must agree with the single-query operator for each probe."""
+    from pyspark.sql import functions as F
+
+    from gigapi_querier_spark.operators import similarity as S
+    from gigapi_querier_spark.sources import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in S.cosine_topk_batch(emb, queries, k=5).collect()
+    }
+    for qid in range(3):
+        qvec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]
+        ]
+        single = S.cosine_topk(emb, qvec, k=5).collect()
+        for row in single:
+            assert batch[(qid, row["vec_id"])] == row["cosine_sim"]
+    assert len(batch) == 15
