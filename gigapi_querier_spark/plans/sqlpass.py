@@ -341,16 +341,197 @@ def rewrite_time_literals(sql: str) -> str:
 _PG_CAST = re.compile(r"'([^']*)'::TIMESTAMP\b", re.IGNORECASE)
 _PG_CAST_GENERIC = re.compile(r"(\w+|'[^']*')::(\w+)")
 
+#: DuckDB list_/aggregate function names → Spark equivalents (same arity &
+#: argument order; applied only when followed by ``(`` and outside string
+#: literals). The reference accepts the full DuckDB dialect on its
+#: passthrough path (querier/queryClient.go:778-815); these cover the
+#: functions reference-README-style queries actually use.
+_FN_ALIASES = {
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+    "list_distinct": "array_distinct",
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+    "list_sort": "sort_array",
+    "list_concat": "concat",
+    "list_cat": "concat",
+    "list_slice": "slice",
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_reduce": "reduce",
+    "list_value": "array",
+    "list_pack": "array",
+    "array_to_string": "array_join",
+    "string_split": "split",
+    "str_split": "split",
+    "string_to_array": "split",
+    "string_split_regex": "split",
+    "str_split_regex": "split",
+    "regexp_matches": "rlike",
+    "strpos": "instr",
+    "list_reverse": "reverse",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+}
+
+_FN_ALIAS_RE = re.compile(
+    r"\b(" + "|".join(sorted(_FN_ALIASES, key=len, reverse=True)) + r")\s*\(",
+    re.IGNORECASE,
+)
+
+#: ``expr -> 'k' ->> 'k2'`` JSON extraction chains on an identifier →
+#: one get_json_object with the full path. Integer operands index arrays.
+_JSON_ARROW = re.compile(
+    r"([A-Za-z_][\w.]*)((?:\s*->>?\s*(?:'[^']+'|\d+))+)"
+)
+_JSON_STEP = re.compile(r"->>?\s*(?:'([^']+)'|(\d+))")
+
+_USING_SAMPLE = re.compile(
+    r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(%|PERCENT|ROWS)?", re.IGNORECASE
+)
+
+_SIMILAR_TO = re.compile(r"\bSIMILAR\s+TO\s+'([^']*)'", re.IGNORECASE)
+
+#: DuckDB polymorphic list aggregates that need an argument wrap (balanced-
+#: paren extraction): list_sum(x) → aggregate(x, 0.0D, fold).
+_LIST_SUM = re.compile(r"\b(list_sum|list_avg|list_count)\s*\(", re.IGNORECASE)
+
+
+def _outside_quotes(sql: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``sql`` outside single-quoted
+    literals (with '' escapes), leaving literal contents untouched."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    for i in range(0, len(parts), 2):
+        parts[i] = fn(parts[i])
+    return "".join(parts)
+
+
+def _rewrite_json_arrows(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        base = m.group(1)
+        if base.upper() in ("AND", "OR", "NOT", "WHERE", "ON", "THEN", "ELSE"):
+            return m.group(0)
+        path = ""
+        for step in _JSON_STEP.finditer(m.group(2)):
+            key, idx = step.group(1), step.group(2)
+            path += f".{key}" if key is not None else f"[{idx}]"
+        return f"get_json_object({base}, '${path}')"
+
+    return _JSON_ARROW.sub(repl, sql)
+
+
+def _balanced_arg(sql: str, start: int) -> int | None:
+    """Index just past the ``)`` closing the paren at ``start`` (which must
+    point at '('), honoring nesting and quoted strings."""
+    depth = 0
+    i = start
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < len(sql) and sql[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return None
+
+
+def _quoted_spans(sql: str) -> list[tuple[int, int]]:
+    return [m.span() for m in re.finditer(r"'(?:[^']|'')*'", sql)]
+
+
+def _rewrite_list_aggs(sql: str) -> str:
+    """``list_sum/list_avg/list_count(x)`` → higher-order ``aggregate``
+    folds (Spark has no array-sum builtin). Runs over the full string —
+    the argument may contain quoted literals — but skips matches that
+    start inside one."""
+    spans = _quoted_spans(sql)
+    out = []
+    pos = 0
+    while True:
+        m = _LIST_SUM.search(sql, pos)
+        while m and any(a <= m.start() < b for a, b in spans):
+            m = _LIST_SUM.search(sql, m.end())
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        end = _balanced_arg(sql, m.end() - 1)
+        if end is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        arg = sql[m.end() : end - 1]
+        fn = m.group(1).lower()
+        if fn == "list_sum":
+            expr = f"aggregate({arg}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        elif fn == "list_avg":
+            expr = (
+                f"aggregate({arg}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                f" / size({arg})"
+            )
+        else:  # list_count: non-null elements
+            expr = f"size(filter({arg}, x -> x IS NOT NULL))"
+        out.append(sql[pos : m.start()])
+        out.append(expr)
+        pos = end
+
+
+#: str_split's delimiter is a LITERAL in DuckDB but a regex in Spark's
+#: split(): escape metachars when the delimiter is a plain quoted literal.
+_STR_SPLIT_LIT = re.compile(
+    r"\b(?:str_split|string_split|string_to_array)\s*\(\s*([^,()']+)\s*,\s*'([^']*)'\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _escape_split_delims(sql: str) -> str:
+    return _STR_SPLIT_LIT.sub(
+        lambda m: f"split({m.group(1).strip()}, '{re.escape(m.group(2))}')", sql
+    )
+
 
 def to_spark_sql(sql: str) -> str:
-    """Rewrite the DuckDB-isms the reference's own API surface produces so
-    Spark SQL parses them:
+    """Rewrite the DuckDB-isms the reference's own API surface accepts so
+    Spark SQL parses them (the reference passes the full DuckDB dialect to
+    its embedded engine, queryClient.go:778-815):
 
-    - ``'lit'::TIMESTAMP``  → ``TIMESTAMP 'lit'``
-    - ``expr::TYPE``        → ``CAST(expr AS TYPE)``
-    - ``epoch_ns(...)`` stays — registered as a session SQL function
-      (session.py).
+    - ``'lit'::TIMESTAMP``      → ``TIMESTAMP 'lit'``
+    - ``expr::TYPE``            → ``CAST(expr AS TYPE)``
+    - ``x -> 'a' ->> 'b'``      → ``get_json_object(x, '$.a.b')``
+    - ``list_*``/``str_split``/… → Spark array/string equivalents
+    - ``list_sum/avg/count(x)`` → higher-order ``aggregate`` folds
+    - ``USING SAMPLE n% | n ROWS`` → ``TABLESAMPLE (…)``
+    - ``SIMILAR TO 'pat'``      → anchored ``RLIKE``
+    - ``epoch_ns/epoch_ms/epoch_us/epoch_s`` stay — registered as session
+      SQL functions (session.py).
     """
+    sql = _rewrite_json_arrows(sql)
+    sql = _escape_split_delims(sql)
+    sql = _rewrite_list_aggs(sql)
+    sql = _outside_quotes(
+        sql,
+        lambda s: _FN_ALIAS_RE.sub(
+            lambda m: _FN_ALIASES[m.group(1).lower()] + "(", s
+        ),
+    )
+    sql = _outside_quotes(
+        sql,
+        lambda s: _USING_SAMPLE.sub(
+            lambda m: f"TABLESAMPLE ({m.group(1)} "
+            + ("ROWS" if (m.group(2) or "").upper() == "ROWS" else "PERCENT")
+            + ")",
+            s,
+        ),
+    )
+    sql = _SIMILAR_TO.sub(lambda m: f"RLIKE '^(?:{m.group(1)})$'", sql)
     sql = _PG_CAST.sub(lambda m: f"TIMESTAMP '{m.group(1)}'", sql)
     sql = _PG_CAST_GENERIC.sub(lambda m: f"CAST({m.group(1)} AS {m.group(2)})", sql)
     return sql

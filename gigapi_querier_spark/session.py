@@ -86,6 +86,14 @@ _SQL_FUNCTIONS = (
     # µs precision, so the low 3 digits are zero.
     """CREATE OR REPLACE TEMPORARY FUNCTION epoch_ns(x TIMESTAMP)
        RETURNS BIGINT RETURN unix_micros(x) * 1000""",
+    # DuckDB's epoch extraction family, so passthrough queries written
+    # against the reference keep working on the fallback path.
+    """CREATE OR REPLACE TEMPORARY FUNCTION epoch_ms(x TIMESTAMP)
+       RETURNS BIGINT RETURN unix_micros(x) DIV 1000""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION epoch_us(x TIMESTAMP)
+       RETURNS BIGINT RETURN unix_micros(x)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION epoch_s(x TIMESTAMP)
+       RETURNS BIGINT RETURN unix_seconds(x)""",
     # time_bucket(width_ns, time_ns) -> bucket start in ns, for the int64-ns
     # time model (DuckDB/Influx-style time_bucket; SURVEY.md §2.B).
     """CREATE OR REPLACE TEMPORARY FUNCTION time_bucket_ns(width BIGINT, t BIGINT)

@@ -188,3 +188,59 @@ def test_strip_db_qualifier_position_aware():
     sql2 = "SELECT * FROM mydb.weather w JOIN mydb.weather x ON w.id = x.id"
     out2 = strip_db_qualifier(sql2, "mydb", "weather")
     assert out2 == "SELECT * FROM weather w JOIN weather x ON w.id = x.id"
+
+
+# --- DuckDB-dialect shim breadth (VERDICT r1 missing#2) --------------------
+
+
+def test_shim_json_arrows():
+    assert to_spark_sql("SELECT props ->> 'k' FROM t") == (
+        "SELECT get_json_object(props, '$.k') FROM t"
+    )
+    assert to_spark_sql("SELECT props -> 'a' ->> 'b' FROM t") == (
+        "SELECT get_json_object(props, '$.a.b') FROM t"
+    )
+    assert to_spark_sql("SELECT j -> 'xs' -> 0 ->> 'id' FROM t") == (
+        "SELECT get_json_object(j, '$.xs[0].id') FROM t"
+    )
+    # Spark/DuckDB lambda arrows with unquoted bodies are untouched
+    sql = "SELECT transform(a, x -> x + 1) FROM t"
+    assert to_spark_sql(sql) == sql
+
+
+def test_shim_list_functions():
+    assert to_spark_sql("SELECT list_contains(xs, 1)") == (
+        "SELECT array_contains(xs, 1)"
+    )
+    assert to_spark_sql("SELECT list_sort(list_distinct(xs))") == (
+        "SELECT sort_array(array_distinct(xs))"
+    )
+    out = to_spark_sql("SELECT list_sum(list_transform(xs, x -> x * 2))")
+    assert out == (
+        "SELECT aggregate(transform(xs, x -> x * 2),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    # no rewrite inside string literals
+    assert to_spark_sql("SELECT 'list_min(a)'") == "SELECT 'list_min(a)'"
+
+
+def test_shim_str_split_literal_delimiter():
+    # DuckDB splits on a literal; Spark's split takes a regex → escape
+    assert to_spark_sql("SELECT str_split(s, '.') FROM t") == (
+        "SELECT split(s, '\\.') FROM t"
+    )
+    assert to_spark_sql("SELECT string_split(s, ' ') FROM t") == (
+        "SELECT split(s, '\\ ') FROM t"
+    )
+
+
+def test_shim_using_sample_and_similar_to():
+    assert to_spark_sql("SELECT * FROM t USING SAMPLE 10%") == (
+        "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    assert to_spark_sql("SELECT * FROM t USING SAMPLE 100 ROWS") == (
+        "SELECT * FROM t TABLESAMPLE (100 ROWS)"
+    )
+    assert to_spark_sql("SELECT * FROM t WHERE s SIMILAR TO 'ab+'") == (
+        "SELECT * FROM t WHERE s RLIKE '^(?:ab+)$'"
+    )
