@@ -125,14 +125,32 @@ class QueryEngine:
         self.last_stats.build_sec = time.perf_counter() - t0
         return out
 
-    def query_rows(self, sql: str, db: str | None = None) -> list[dict]:
+    #: Row cap for fully-materialized results (HTTP format=json). The
+    #: reference materializes unbounded row maps (queryClient.go:886-920)
+    #: — a driver-OOM edge at scale; here an oversized result is a clean
+    #: 400 pointing at the streaming edge. 0/negative disables the cap.
+    MAX_JSON_ROWS = int(os.environ.get("GIGAPI_MAX_JSON_ROWS", 1_000_000))
+
+    def query_rows(
+        self, sql: str, db: str | None = None, max_rows: int | None = None
+    ) -> list[dict]:
         """Collect results as row dicts with the reference's count-null→0
-        rule applied (queryClient.go:911-914)."""
+        rule applied (queryClient.go:911-914). Raises QueryError when the
+        result exceeds ``max_rows`` (default ``MAX_JSON_ROWS``)."""
         df = self.query(sql, db)
-        cols = df.columns
-        count_cols = {c for c in cols if "count" in c}
+        cap = self.MAX_JSON_ROWS if max_rows is None else max_rows
+        if cap and cap > 0:
+            collected = df.take(cap + 1)
+            if len(collected) > cap:
+                raise QueryError(
+                    f"result exceeds {cap} rows for format=json; "
+                    "add a LIMIT or use format=ndjson (streamed)"
+                )
+        else:
+            collected = df.collect()
+        count_cols = {c for c in df.columns if "count" in c}
         rows = []
-        for r in df.collect():
+        for r in collected:
             d = r.asDict(recursive=True)
             for c in count_cols:
                 if d.get(c) is None:

@@ -23,6 +23,7 @@ are accepted too.
 from __future__ import annotations
 
 import itertools
+import os
 import re
 import threading
 import time
@@ -35,6 +36,11 @@ from gigapi_querier_spark.engine import QueryEngine, QueryError
 
 _TICKET_TTL_SEC = 300
 _MAX_TICKETS = 256
+#: Byte budget for all pending tickets (reference parity would be
+#: unbounded — flightsql.go:35-37 holds full tables per ticket; a handful
+#: of wide results would OOM the driver). Oversized single results are
+#: refused outright; otherwise oldest tickets evict until the new one fits.
+_MAX_TICKET_BYTES = int(os.environ.get("GIGAPI_FLIGHT_TICKET_BYTES", 512 * 1024 * 1024))
 
 
 # --- minimal protobuf decode for Any{CommandStatementQuery} ----------------
@@ -132,17 +138,30 @@ class GigapiFlightServer(flight.FlightServerBase):
         return "default"  # flightsql.go:135
 
     def _store(self, table: pa.Table) -> bytes:
+        nbytes = table.nbytes
+        if nbytes > _MAX_TICKET_BYTES:
+            # refuse rather than OOM the driver — the client should page
+            # (LIMIT) or use the streaming HTTP ndjson edge
+            raise flight.FlightServerError(
+                f"result too large for ticket store ({nbytes} bytes > "
+                f"{_MAX_TICKET_BYTES}); add a LIMIT or stream via ndjson"
+            )
         ticket = f"query-{next(self._seq)}".encode()
         now = time.time()
         with self._lock:
-            # expire old tickets; bound the map
+            # expire old tickets; bound the map by count AND bytes
             dead = [
                 k for k, (ts, _) in self._tickets.items() if now - ts > _TICKET_TTL_SEC
             ]
             for k in dead:
                 del self._tickets[k]
-            while len(self._tickets) >= _MAX_TICKETS:
-                self._tickets.pop(next(iter(self._tickets)))
+            held = sum(t.nbytes for _, t in self._tickets.values())
+            while self._tickets and (
+                len(self._tickets) >= _MAX_TICKETS
+                or held + nbytes > _MAX_TICKET_BYTES
+            ):
+                _, evicted = self._tickets.pop(next(iter(self._tickets)))
+                held -= evicted.nbytes
             self._tickets[ticket.decode()] = (now, table)
         return ticket
 

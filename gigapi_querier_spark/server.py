@@ -32,6 +32,11 @@ _CORS = {
 }
 
 
+class _HeadersAlreadySent(Exception):
+    """A streaming response failed after the status line went out; the
+    connection must be closed, never re-responded."""
+
+
 def make_handler(engine: QueryEngine):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -96,29 +101,46 @@ def make_handler(engine: QueryEngine):
                 else:
                     rows = engine.query_rows(sql, db)
                     self._send(200, json_format(rows).encode())
+            except _HeadersAlreadySent:
+                # mid-stream ndjson failure: headers (200 + chunked) are on
+                # the wire — a second send_response would corrupt the
+                # framing. The chunked body was already terminated; close.
+                self.close_connection = True
             except QueryError as e:
                 self._error(str(e))
             except Exception as e:  # engine bug: still the error shape
                 self._error(str(e), 500)
 
         def _stream_ndjson(self, sql: str, db: str):
+            # Everything that can fail BEFORE headers (parse, prune, bind,
+            # first-partition execution) runs here so errors still produce
+            # a clean 400/500 response.
             df = engine.query(sql, db)
             count_cols = {c for c in df.columns if "count" in c}
+            it = df.toLocalIterator()
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
             for k, v in _CORS.items():
                 self.send_header(k, v)
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
-            for row in df.toLocalIterator():
-                d = row.asDict(recursive=True)
-                for c in count_cols:
-                    if d.get(c) is None:
-                        d[c] = 0
-                line = (
-                    json.dumps({k: transform_value(v) for k, v in d.items()}) + "\n"
-                ).encode()
-                self.wfile.write(f"{len(line):x}\r\n".encode() + line + b"\r\n")
+            try:
+                for row in it:
+                    d = row.asDict(recursive=True)
+                    for c in count_cols:
+                        if d.get(c) is None:
+                            d[c] = 0
+                    line = (
+                        json.dumps({k: transform_value(v) for k, v in d.items()}) + "\n"
+                    ).encode()
+                    self.wfile.write(f"{len(line):x}\r\n".encode() + line + b"\r\n")
+            except Exception as e:
+                # terminate the chunked body; do NOT start a second response
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                except OSError:
+                    pass
+                raise _HeadersAlreadySent(str(e)) from e
             self.wfile.write(b"0\r\n\r\n")
 
     return Handler

@@ -131,3 +131,37 @@ def test_ticket_expiry(server, client):
     client.get_flight_info(flight.FlightDescriptor.for_command(b"SELECT 2 AS y"))
     with pytest.raises(flight.FlightServerError):
         client.do_get(ticket)
+
+
+def test_ticket_store_byte_budget(server, client):
+    """Oversized results are refused cleanly; the byte budget evicts old
+    tickets instead of accumulating tables without bound."""
+    import pyarrow.flight as flight
+
+    import gigapi_querier_spark.flightsql as fsql
+
+    old = fsql._MAX_TICKET_BYTES
+    fsql._MAX_TICKET_BYTES = 1024  # 1 KiB budget
+    try:
+        with pytest.raises(flight.FlightServerError, match="too large"):
+            client.get_flight_info(
+                flight.FlightDescriptor.for_command(
+                    b"SELECT * FROM weather"  # 84 rows x several cols > 1 KiB
+                )
+            )
+        # small results still work, and older tickets evict under pressure
+        infos = [
+            client.get_flight_info(
+                flight.FlightDescriptor.for_command(
+                    f"SELECT {i} AS a, 'xxxxxxxx' AS pad".encode()
+                )
+            )
+            for i in range(6)
+        ]
+        held = sum(t.nbytes for _, t in server._tickets.values())
+        assert held <= 1024
+        # the newest ticket is still retrievable
+        table = client.do_get(infos[-1].endpoints[0].ticket).read_all()
+        assert table.num_rows == 1
+    finally:
+        fsql._MAX_TICKET_BYTES = old

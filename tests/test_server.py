@@ -113,3 +113,28 @@ def test_concurrent_queries_share_session(base_url):
         results = list(ex.map(one, range(8)))
     assert all(code == 200 for code, _ in results)
     assert [v for _, v in results] == [str(84 + i) for i in range(8)]
+
+
+def test_json_max_rows_guard(base_url, monkeypatch=None):
+    # 84 weather rows; a cap of 10 must refuse format=json with a clean 400
+    from gigapi_querier_spark.engine import QueryEngine
+
+    old = QueryEngine.MAX_JSON_ROWS
+    QueryEngine.MAX_JSON_ROWS = 10
+    try:
+        code, body = _post(base_url + "/query", {"query": "SELECT * FROM weather"})
+        assert code == 400
+        assert b"ndjson" in body and b"error" in body
+        # ndjson still streams the full result
+        import urllib.request
+
+        req = urllib.request.Request(
+            base_url + "/query?format=ndjson",
+            data=json.dumps({"query": "SELECT * FROM weather"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            lines = [l for l in resp.read().splitlines() if l.strip()]
+        assert len(lines) == 84
+    finally:
+        QueryEngine.MAX_JSON_ROWS = old
