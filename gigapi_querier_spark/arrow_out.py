@@ -57,9 +57,20 @@ def _to_ns_utc(col: pa.ChunkedArray) -> pa.ChunkedArray:
     if pa.types.is_timestamp(t):
         return col.cast(_NS_UTC)
     if pa.types.is_string(t):
-        # string timestamps: try the same layouts the reference accepts
-        # (flightsql.go:409-425 — RFC3339[Nano], space/T-separated, with
-        # or without fractional seconds); per-value, unparseable → null.
+        # string timestamps: the same layouts the reference accepts
+        # (flightsql.go:409-425 — RFC3339[Nano], space/T-separated, with or
+        # without fractional seconds). Vectorized: Arrow's cast parses
+        # tz-annotated strings straight to ns-UTC, and naive strings to
+        # naive-ns (then re-stamped UTC). Only a column Arrow can't parse
+        # wholesale (mixed/odd layouts) walks the slow per-value path.
+        try:
+            return col.cast(_NS_UTC)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass
+        try:
+            return col.cast(pa.timestamp("ns")).cast(_NS_UTC)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass
         from gigapi_querier_spark.plans.sqlpass import parse_time_literal_ns
 
         values = [

@@ -106,7 +106,22 @@ class QueryEngine:
             )
 
         t0 = time.perf_counter()
-        cache_key = (parsed.db_name, parsed.measurement, frozenset(files))
+        # Key includes (size, mtime) per file so a file REWRITTEN IN PLACE
+        # (compaction: same path, new schema) misses the cache too — not
+        # just added/removed files. stat() is metadata-only and local/S3-
+        # list cheap relative to footer reads.
+        def _sig(f: str) -> tuple[str, int, int]:
+            try:
+                st = os.stat(f)
+                return (f, st.st_size, int(st.st_mtime_ns))
+            except OSError:
+                return (f, -1, -1)
+
+        cache_key = (
+            parsed.db_name,
+            parsed.measurement,
+            frozenset(_sig(f) for f in files),
+        )
         schema = self._schema_cache.get(cache_key)
         if schema is None:
             df = self.spark.read.option("mergeSchema", "true").parquet(*files)

@@ -41,10 +41,19 @@ def write_table(
     hive ``date``/``hour`` partition columns are derived from it.
     """
     base = os.path.join(root, db, table, "data")
-    ts = F.timestamp_micros(F.expr(f"{time_col} DIV 1000"))
+    # date/hour derive from epoch ARITHMETIC, not date_format/hour (those
+    # follow spark.sql.session.timeZone — under a non-UTC session the
+    # layout would disagree with Catalog's UTC interpretation of the
+    # directory names and partition pruning would skip live files).
+    # from_unixtime is also tz-dependent; day/hour index math is not.
+    secs = F.expr(f"{time_col} DIV 1000000000")
+    day = F.date_add(
+        F.lit("1970-01-01").cast("date"), F.floor(secs / 86400).cast("int")
+    )
+    hour = F.floor(F.pmod(secs, 86400) / 3600)
     (
-        df.withColumn("date", F.date_format(ts, "yyyy-MM-dd"))
-        .withColumn("hour", F.lpad(F.hour(ts).cast("string"), 2, "0"))
+        df.withColumn("date", F.date_format(day, "yyyy-MM-dd"))
+        .withColumn("hour", F.lpad(hour.cast("int").cast("string"), 2, "0"))
         .write.partitionBy("date", "hour")
         .mode(mode)
         .parquet(base)

@@ -197,3 +197,38 @@ def test_dialect_similar_to(engine):
         "mydb",
     )
     assert rows[0]["n"] > 0
+
+
+def test_schema_cache_misses_on_inplace_rewrite(engine, spark, tmp_path_factory):
+    """ADVICE r1: a file rewritten in place (same path, new schema) must
+    miss the schema cache, not serve the stale merged schema."""
+    import os
+    import time as _time
+
+    from gigapi_querier_spark.engine import QueryEngine
+    from tests.fixtures import build_weather_root
+
+    root = str(tmp_path_factory.mktemp("rewrite_root"))
+    build_weather_root(root)
+    eng = QueryEngine(spark, root=root)
+    cols1 = set(eng.query("SELECT * FROM weather LIMIT 1", "mydb").columns)
+    assert "extra_col" not in cols1
+    # rewrite one partition file in place with an extra column
+    target = None
+    for dirpath, _, files in os.walk(os.path.join(root, "mydb", "weather")):
+        for f in files:
+            if f.endswith(".parquet"):
+                target = os.path.join(dirpath, f)
+                break
+        if target:
+            break
+    df = spark.read.parquet(target)
+    from pyspark.sql import functions as F
+
+    tmp_out = str(tmp_path_factory.mktemp("rewrite_tmp"))
+    df.withColumn("extra_col", F.lit(1)).coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+    _time.sleep(0.01)  # ensure mtime advances
+    os.replace(os.path.join(tmp_out, part), target)
+    cols2 = set(eng.query("SELECT * FROM weather LIMIT 1", "mydb").columns)
+    assert "extra_col" in cols2

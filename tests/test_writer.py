@@ -75,3 +75,27 @@ def test_roundtrip_values_match_direct(spark, written_root, sf_dir):
         .collect()
     }
     assert {r["event_type"]: r["n"] for r in got} == exp
+
+
+def test_partition_layout_timezone_independent(spark, tmp_path):
+    """ADVICE r1: date=/hour= must come from UTC epoch arithmetic, not the
+    session timezone — otherwise pruning (which reads dir names as UTC)
+    skips live files under a non-UTC session."""
+    from pyspark.sql import functions as F
+
+    from gigapi_querier_spark.sources.writer import write_table
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ns = 1_700_000_000 * 1_000_000_000  # 2023-11-14T22:13:20Z
+        df = spark.createDataFrame([(ns, 1.0)], "time long, v double")
+        root = str(tmp_path / "tzroot")
+        write_table(df, root, "tzdb", "t")
+        paths = [
+            str(p.relative_to(tmp_path))
+            for p in (tmp_path / "tzroot").rglob("*.parquet")
+        ]
+        assert any("date=2023-11-14/hour=22" in p for p in paths), paths
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
