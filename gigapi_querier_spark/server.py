@@ -18,6 +18,7 @@ queryClient.go:886-920).
 from __future__ import annotations
 
 import json
+import os
 from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -61,6 +62,13 @@ def make_handler(engine: QueryEngine):
 
         def do_GET(self):
             url = urlparse(self.path)
+            if url.path in ("", "/") and not os.environ.get("GIGAPI_DISABLE_UI"):
+                # built-in query UI (reference server.go:233-269 serves an
+                # embedded SPA at /, gated by DisableUI)
+                from gigapi_querier_spark.ui import INDEX_HTML
+
+                self._send(200, INDEX_HTML.encode(), "text/html; charset=utf-8")
+                return
             if url.path == "/health":
                 body = json.dumps(
                     {

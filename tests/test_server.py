@@ -138,3 +138,23 @@ def test_json_max_rows_guard(base_url, monkeypatch=None):
         assert len(lines) == 84
     finally:
         QueryEngine.MAX_JSON_ROWS = old
+
+
+def test_ui_served_at_root(base_url):
+    import urllib.request
+
+    with urllib.request.urlopen(base_url + "/") as resp:
+        body = resp.read().decode()
+        assert resp.status == 200
+        assert "text/html" in resp.headers["Content-Type"]
+    assert "gigapi-querier-spark" in body and "/query" in body
+
+
+def test_ui_disabled_via_env(base_url, monkeypatch):
+    import urllib.error
+    import urllib.request
+
+    monkeypatch.setenv("GIGAPI_DISABLE_UI", "1")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(base_url + "/")
+    assert ei.value.code == 404
