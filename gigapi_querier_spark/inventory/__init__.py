@@ -61,6 +61,10 @@ _LOADED = False
 _PRIORITY: tuple[str, ...] = (
     # -- new in round 2 (no CORRECTNESS row yet) --
     "ann_batch_topk",
+    "dedup_neardup_clusters",
+    "sample_split_counts",
+    "pack_sequences_assign",
+    "corpus_mixture_sample",
     # -- never checked as of round 1 (similarity / text / time-series /
     #    as-of / JSON / relational batches 3-5) --
     "ann_cosine_topk",
@@ -124,6 +128,7 @@ def _load() -> None:
         return
     from gigapi_querier_spark.inventory import (  # noqa: F401
         dedup,
+        llmops,
         multimodal,
         relational,
         relational2,

@@ -86,9 +86,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(t["documents"], num_hashes=8)
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
+#: Reusable CTE body: the LSH candidate pairs (shared by the clusters
+#: oracle in inventory/llmops.py).
+ORACLE_LSH_PAIRS = f"""
 WITH sigs AS ({_oracle_sigs()}),
 bands AS (
   SELECT doc_id, 0 AS band, md5(concat(h0::VARCHAR, ':', h1::VARCHAR)) AS bv FROM sigs
@@ -99,8 +99,10 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-""",
-)
+"""
+
+
+@register("dedup_minhash_lsh_pairs", oracle=ORACLE_LSH_PAIRS)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     sig = D.minhash_signatures(t["documents"], num_hashes=8)

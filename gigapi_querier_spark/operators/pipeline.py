@@ -1,0 +1,167 @@
+"""Training-data pipeline operators beyond dedup/similarity: cluster
+resolution, deterministic splits, sequence packing, corpus mixing.
+
+These are the post-candidate-generation stages of a 100 TB data pipeline:
+LSH emits candidate pairs (operators/dedup.py); these operators resolve
+them into clusters, carve reproducible train/val/test splits, pack
+documents into fixed-token training sequences, and sample a weighted
+corpus mixture. Everything is deterministic (md5-keyed, no RNG) so
+results are engine-reproducible — the DuckDB oracles in
+inventory/llmops.py check them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve candidate pairs into clusters: (node, cluster_id) with
+    cluster_id = min node id reachable in the pair graph.
+
+    Algorithm: min-label propagation to fixpoint — each round every node
+    adopts the smallest label among itself and its neighbors; converged
+    when no label changes. Each round is ONE shuffle (edges ⋈ labels +
+    min-aggregate); rounds needed = graph diameter (near-dup graphs are
+    shallow — duplicates of a document link through it). The classic
+    alternating large-star/small-star optimization halves rounds on deep
+    graphs; diameters here don't warrant it.
+
+    Driver involvement is one convergence count per round (an iterative
+    algorithm's natural shape — same loop structure GraphX/Pregel runs).
+    ``max_iter`` bounds adversarial chains; raise for deep graphs.
+    """
+    # symmetric edge list, self-loops dropped
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).where(F.col("a") != F.col("b")).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    cached = None
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        # one ACTION per round: the aggregate both materializes the new
+        # labels into cache and reports whether anything moved (a separate
+        # changed-count join would double the per-round job latency)
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                (F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl"))
+                .cast("int")
+                .alias("moved"),
+            )
+            .persist()
+        )
+        changed = new_labels.agg(F.max("moved")).collect()[0][0]
+        if cached is not None:
+            cached.unpersist()
+        cached = new_labels
+        labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("lbl").alias("cluster_id"))
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from md5(key) — the reproducible
+    substitute for RNG sampling (same value in any engine:
+    ('0x' || substr(md5(key), 1, 7))::BIGINT % buckets)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 7), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Attach a reproducible ``split`` column ('train'|'val'|'test') keyed
+    on md5(key): content-stable across runs, engines, and cluster sizes —
+    no RNG, no seed coordination, no reshuffling when data is appended.
+    One map pass; no shuffle.
+    """
+    b = hash_bucket(F.col(key_col))
+    split = (
+        F.when(b < val_pct, F.lit("val"))
+        .when(b < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    target: int = 2048,
+    shards: int = 0,
+) -> DataFrame:
+    """Assign documents to fixed-budget training sequences: pack_id =
+    floor(running_tokens / target) over a deterministic document order.
+
+    The running sum makes packing a WINDOW operation, not a sequential
+    driver loop. Global order (shards=0) needs a single-partition window
+    — fine for oracle checking, wrong at 100 TB; production sets
+    ``shards`` > 0 to pack within md5-sharded groups: same packing
+    quality (each shard is a uniform sample), embarrassingly parallel,
+    one shuffle on the shard key. Documents longer than ``target`` are
+    their own pack (ceil contribution), matching greedy packing.
+    """
+    toks = F.least(F.col(token_col).cast("long"), F.lit(int(target)))
+    if shards > 0:
+        shard = hash_bucket(F.col(id_col), shards).alias("shard")
+        w = Window.partitionBy("shard").orderBy(F.col(id_col))
+        out = df.select(F.col(id_col), toks.alias("t"), shard)
+    else:
+        w = Window.orderBy(F.col(id_col))
+        out = df.select(F.col(id_col), toks.alias("t"), F.lit(0).alias("shard"))
+    cum = F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return out.select(
+        F.col(id_col),
+        F.col("shard"),
+        ((cum - F.col("t")) / target).cast("long").alias("pack_id"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, int],
+    buckets: int = 100,
+) -> DataFrame:
+    """Weighted corpus mixture: keep a deterministic ``rates[group]``-
+    percent slice of each group (e.g. upweight high-quality sources by
+    keeping more of them). Unlisted groups drop. Pure filter — no
+    shuffle, no RNG; the md5 bucket makes the sample content-stable.
+    """
+    b = hash_bucket(F.col(key_col), buckets)
+    expr = None
+    for grp, pct in sorted(rates.items()):
+        cond = F.col(group_col) == grp
+        expr = F.when(cond, F.lit(int(pct))) if expr is None else expr.when(
+            cond, F.lit(int(pct))
+        )
+    return df.where(b < expr.otherwise(F.lit(0)))

@@ -1,0 +1,70 @@
+"""Tests for training-pipeline operators (operators/pipeline.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gigapi_querier_spark.operators import pipeline as P
+
+
+def test_connected_components_basic(spark):
+    # components: {1,2,3} via 1-2, 2-3; {10,11}; chain {20,21,22,23}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["cluster_id"] for r in P.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_merging_clusters(spark):
+    # two clusters that merge through a late edge; worst-case label chain
+    pairs = spark.createDataFrame(
+        [(5, 6), (7, 8), (6, 7), (3, 8)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in P.connected_components(pairs).collect()}
+    assert set(got.values()) == {3}
+
+
+def test_train_val_test_split_deterministic(spark):
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    a = P.train_val_test_split(df, "k").groupBy("split").count().collect()
+    b = P.train_val_test_split(df, "k").groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # roughly 10% buckets (md5 is uniform; 1000 keys → generous bounds)
+    assert 50 <= counts["val"] <= 160 and 50 <= counts["test"] <= 160
+
+
+def test_pack_sequences_budget(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    out = P.pack_sequences(df, target=250, shards=0).collect()
+    packs: dict[int, int] = {}
+    for r in out:
+        packs[r["pack_id"]] = packs.get(r["pack_id"], 0) + 100
+    # concat-and-chunk: docs assigned by start offset → pack 0 starts at 0,
+    # each pack's assigned docs START below the budget boundary
+    assert packs[0] >= 200
+    assert sum(packs.values()) == 1000
+
+
+def test_pack_sequences_long_doc_capped(spark):
+    df = spark.createDataFrame([(1, 10_000), (2, 10)], "doc_id long, n_tokens long")
+    out = {r["doc_id"]: r["pack_id"] for r in P.pack_sequences(df, target=512, shards=0).collect()}
+    # the oversized doc contributes min(len, target) → occupies pack 0 alone
+    assert out[1] == 0 and out[2] == 1
+
+
+def test_mixture_sample_rates(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("es").alias("grp"),
+    )
+    kept = P.mixture_sample(df, "k", "grp", {"en": 100, "es": 0})
+    rows = kept.groupBy("grp").count().collect()
+    got = {r["grp"]: r["count"] for r in rows}
+    assert got == {"en": 1000}  # en fully kept, es fully dropped
