@@ -175,3 +175,80 @@ def windowed_counts_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_windows_stream(
+    events: DataFrame,
+    time_col: str = "time",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via the NATIVE session_window aggregation
+    (dynamic-gap windows merge as events arrive; state closes once the
+    watermark passes a session's end). The batch twin is
+    :func:`sessionize_batch` — same gap semantics, checkable offline.
+
+    Scale: state is (user, open-session) rows in the partitioned state
+    store; the watermark bounds it — closed sessions emit and evict.
+    """
+    with_time = _event_time(events, time_col).withWatermark("_event_time", watermark)
+    return with_time.groupBy(
+        F.session_window("_event_time", gap).alias("session"), F.col(user_col)
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    time_col: str = "time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same ``id_cols``
+    arriving within the watermark (``dropDuplicatesWithinWatermark`` —
+    state evicts as the watermark advances, so memory is bounded by the
+    dedup horizon, not stream length). The at-least-once → effectively-
+    once repair stage of an ingestion pipeline.
+    """
+    with_time = _event_time(events, time_col).withWatermark("_event_time", watermark)
+    return with_time.dropDuplicatesWithinWatermark([*id_cols]).drop("_event_time")
+
+
+def stream_to_table(
+    stream: DataFrame,
+    root: str,
+    db: str,
+    table: str,
+    checkpoint: str,
+    time_col: str = "time",
+    trigger_available_now: bool = True,
+):
+    """writeStream → the reference's partitioned layout: each micro-batch
+    appends via sources/writer.write_table (date=/hour= dirs derived from
+    the ns time column, per-folder metadata.json refreshed) — closing the
+    ingest loop so a streamed table is immediately queryable through the
+    engine's pruning catalog.
+
+    foreachBatch is the right sink here: the layout (hive dirs +
+    metadata.json sidecars) isn't a built-in sink, and per-batch batch
+    writes inherit the writer's UTC-arithmetic partitioning. Exactly-once
+    comes from the checkpoint + idempotent append-only file naming.
+    """
+    from gigapi_querier_spark.sources.writer import write_table
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_table(batch_df, root, db, table, time_col=time_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -62,3 +62,97 @@ def test_stateful_running_totals(spark, root):
     }
     # multiple batches actually happened (update mode emits per batch)
     assert spark.sql("SELECT count(*) AS c FROM running_totals").first()["c"] > 3
+
+
+def test_session_window_stream_matches_batch_semantics(spark, root):
+    """Native session_window (streaming) groups the same events the batch
+    lag+cumsum sessionizer does for a closed stream."""
+    from gigapi_querier_spark.streaming.ingest import (
+        session_windows_stream,
+        stream_table,
+    )
+
+    stream = stream_table(spark, root, "mydb", "weather")
+    agg = session_windows_stream(
+        stream, time_col="time", user_col="location", gap="30 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT location, n_events FROM sess_mem ORDER BY location, session_start"
+    ).collect()
+    assert rows, "no sessions emitted"
+    # weather fixture: per hour-block 12 events cycle over 3 locations →
+    # 4 events per location at 15-min spacing: one session per (location,
+    # block) of exactly 4 events; 3 locations × (6 regular + 1 drift) blocks
+    assert len(rows) == 21
+    assert all(r["n_events"] == 4 for r in rows)
+
+
+def test_dedup_stream_drops_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark removes duplicate event_ids arriving
+    in the same watermark horizon."""
+    import os
+
+    from gigapi_querier_spark.streaming.ingest import dedup_stream
+
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    ns = 1_700_000_000 * 1_000_000_000
+    rows = [(i, ns + i * 1_000_000_000, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, time long, v double")
+    df.coalesce(1).write.parquet(src + "/a")  # first delivery
+    df.coalesce(1).write.parquet(src + "/b")  # full re-delivery
+    stream = (
+        spark.readStream.schema("event_id long, time long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = dedup_stream(stream, id_cols=("event_id",), time_col="time")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_mem").collect()[0]
+    assert got["n"] == 10 and got["d"] == 10
+
+
+def test_stream_to_table_roundtrip(spark, tmp_path):
+    """Streamed micro-batches land in the reference layout and are
+    immediately queryable through the engine's pruning catalog."""
+    import glob
+    import os
+
+    from gigapi_querier_spark.engine import QueryEngine
+    from gigapi_querier_spark.streaming.ingest import stream_to_table
+
+    src = str(tmp_path / "ing_src")
+    ns = 1_700_000_000 * 1_000_000_000  # 2023-11-14T22:13:20Z
+    df = spark.createDataFrame(
+        [(i, ns + i * 60_000_000_000, float(i)) for i in range(24)],
+        "event_id long, time long, v double",
+    )
+    df.coalesce(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, time long, v double")
+        .parquet(src)
+    )
+    root = str(tmp_path / "ing_root")
+    q = stream_to_table(
+        stream, root, "sdb", "st", checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert glob.glob(root + "/sdb/st/data/date=*/hour=*/*.parquet")
+    eng = QueryEngine(spark, root=root)
+    rows = eng.query_rows("SELECT count(*) AS n FROM st", "sdb")
+    assert rows == [{"n": 24}]
