@@ -82,6 +82,19 @@ class QueryEngine:
         if upper == "SHOW TABLES":
             return self._one_col_df("table_name", self.catalog.tables(db))
 
+        # DESCRIBE <table> — DuckDB-dialect meta command a reference user
+        # types into the UI; bind the table's files then let Spark answer.
+        m = re.match(r"(?:DESCRIBE|DESC)\s+(?:(\w+)\.)?(\w+)\s*;?$", sql, re.IGNORECASE)
+        if m and m.group(2).upper() not in ("SELECT", "TABLE"):
+            dsc_db = m.group(1) or db
+            table = m.group(2)
+            files = self.catalog.find_files(dsc_db, table, None)
+            if files:
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *files
+                ).createOrReplaceTempView(table)
+                return self._run_sql(f"DESCRIBE {table}")
+
         try:
             parsed = parse_query(sql, db)
         except ParseError:
@@ -178,29 +191,53 @@ class QueryEngine:
         r"read_parquet\s*\(\s*(\[[^\]]*\]|'[^']*')\s*(?:,\s*union_by_name\s*=\s*\w+\s*)?\)",
         re.IGNORECASE,
     )
+    _READ_CSV = re.compile(
+        r"read_csv(?:_auto)?\s*\(\s*(\[[^\]]*\]|'[^']*')\s*(?:,[^)]*)?\)",
+        re.IGNORECASE,
+    )
+    _READ_JSON = re.compile(
+        r"read_(?:nd)?json(?:_auto|_objects)?\s*\(\s*(\[[^\]]*\]|'[^']*')\s*(?:,[^)]*)?\)",
+        re.IGNORECASE,
+    )
 
     def _rewrite_read_parquet(self, sql: str) -> str:
-        """DuckDB ``read_parquet([...], union_by_name=true)`` compatibility —
-        the form the reference's own rewrite emits (queryClient.go:855-860),
-        so clients that captured such queries keep working. Each call is
-        bound to a temp view over the file list."""
+        """DuckDB table-function compatibility: ``read_parquet([...],
+        union_by_name=true)`` is the form the reference's own rewrite
+        emits (queryClient.go:855-860); ``read_csv_auto``/``read_json_auto``
+        are the dialect's other file readers users paste in. Each call is
+        bound to a temp view over the file list (mergeSchema / inferred
+        schemas — Spark's multi-file union semantics)."""
         counter = [0]
 
-        def bind(m: re.Match) -> str:
-            files = re.findall(r"'([^']+)'", m.group(1))
-            if not files:
-                return m.group(0)
-            view = f"__read_parquet_{counter[0]}"
-            counter[0] += 1
-            self.spark.read.option("mergeSchema", "true").parquet(
-                *files
-            ).createOrReplaceTempView(view)
-            return view
+        def binder(kind: str):
+            def bind(m: re.Match) -> str:
+                files = re.findall(r"'([^']+)'", m.group(1))
+                if not files:
+                    return m.group(0)
+                view = f"__{kind}_{counter[0]}"
+                counter[0] += 1
+                if kind == "read_parquet":
+                    df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+                elif kind == "read_csv":
+                    df = (
+                        self.spark.read.option("header", "true")
+                        .option("inferSchema", "true")
+                        .csv(list(files))
+                    )
+                else:  # read_json: DuckDB reads json/ndjson files
+                    df = self.spark.read.json(list(files))
+                df.createOrReplaceTempView(view)
+                return view
 
-        return self._READ_PARQUET.sub(bind, sql)
+            return bind
+
+        sql = self._READ_PARQUET.sub(binder("read_parquet"), sql)
+        sql = self._READ_CSV.sub(binder("read_csv"), sql)
+        sql = self._READ_JSON.sub(binder("read_json"), sql)
+        return sql
 
     def _run_sql(self, sql: str) -> DataFrame:
-        if "read_parquet" in sql.lower():
+        if re.search(r"read_(parquet|csv|n?json)", sql, re.IGNORECASE):
             sql = self._rewrite_read_parquet(sql)
         from gigapi_querier_spark.plans.sqlpass import QUALIFY_COL, rewrite_qualify
 

@@ -232,3 +232,27 @@ def test_schema_cache_misses_on_inplace_rewrite(engine, spark, tmp_path_factory)
     os.replace(os.path.join(tmp_out, part), target)
     cols2 = set(eng.query("SELECT * FROM weather LIMIT 1", "mydb").columns)
     assert "extra_col" in cols2
+
+
+def test_describe_table(engine):
+    rows = engine.query_rows("DESCRIBE weather", "mydb")
+    cols = {r["col_name"] for r in rows}
+    assert {"time", "location", "temperature"} <= cols
+
+
+def test_read_csv_auto_shim(engine, tmp_path):
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    rows = engine.query_rows(
+        f"SELECT count(*) AS n, max(a) AS ma FROM read_csv_auto('{csv}')", "mydb"
+    )
+    assert rows == [{"n": 2, "ma": 2}]
+
+
+def test_read_json_auto_shim(engine, tmp_path):
+    nd = tmp_path / "t.ndjson"
+    nd.write_text('{"a": 1}\n{"a": 5}\n')
+    rows = engine.query_rows(
+        f"SELECT sum(a) AS s FROM read_json_auto('{nd}')", "mydb"
+    )
+    assert rows == [{"s": 6}]
