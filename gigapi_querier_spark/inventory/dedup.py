@@ -155,7 +155,9 @@ WITH sets AS (
   FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) words
 ),
 sh AS (
-  SELECT doc_id, lang, CAST(len(shs) AS BIGINT) AS n, unnest(shs) AS sh FROM sets
+  SELECT doc_id, lang, CAST(len(shs) AS BIGINT) AS n,
+         ('0x' || substring(md5(unnest(shs)), 1, 15))::BIGINT AS sh
+  FROM sets
 ),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
