@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 import time
 from dataclasses import dataclass
 
@@ -64,6 +65,7 @@ class QueryEngine:
         self.root = root or os.environ.get("GIGAPI_ROOT", "/data")
         self.catalog = Catalog(self.root)
         self.last_stats = QueryStats()
+        self._bind_lock = threading.Lock()
         # Unified-schema cache (SURVEY.md §7.3 hard part 4): mergeSchema
         # re-reads every footer per query — on a wide drifting table at
         # 100 TB that's thousands of S3 GETs per request. Key includes the
@@ -144,12 +146,18 @@ class QueryEngine:
         else:
             # footer merging skipped entirely — schema applied directly
             df = self.spark.read.schema(schema).parquet(*files)
-        df.createOrReplaceTempView(parsed.measurement)
         run_sql = strip_db_qualifier(sql, parsed.db_name, parsed.measurement)
         # time-literal normalization (A10): comparisons against the int64-ns
         # time column fold to ns integer literals
         run_sql = rewrite_time_literals(run_sql)
-        out = self._run_sql(run_sql)
+        # Temp views are session-global: two concurrent queries on the same
+        # table with different pruned file sets would race between bind and
+        # analysis. spark.sql() resolves the view into the plan eagerly, so
+        # holding the lock across bind+analyze (NOT execution — the
+        # returned DataFrame is already resolved) closes the window.
+        with self._bind_lock:
+            df.createOrReplaceTempView(parsed.measurement)
+            out = self._run_sql(run_sql)
         self.last_stats.build_sec = time.perf_counter() - t0
         return out
 

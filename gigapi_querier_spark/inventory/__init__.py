@@ -65,6 +65,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_split_counts",
     "pack_sequences_assign",
     "corpus_mixture_sample",
+    "text_chunk_documents",
+    "text_redact_pii",
     # -- never checked as of round 1 (similarity / text / time-series /
     #    as-of / JSON / relational batches 3-5) --
     "ann_cosine_topk",

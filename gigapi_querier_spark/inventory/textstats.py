@@ -110,3 +110,67 @@ def text_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.subword_count(F.col("text")).alias("n_subwords"),
         T.token_count(F.col("text")).alias("n_tokens"),
     )
+
+
+@register(
+    "text_chunk_documents",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(CAST(ceil((len(w) - 8) / 56.0) AS BIGINT), 1)))
+           AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(w[chunk_idx * 56 + 1 : chunk_idx * 56 + 64]) AS BIGINT)
+         AS n_tokens,
+       array_to_string(w[chunk_idx * 56 + 1 : chunk_idx * 56 + 64], ' ')
+         AS chunk_text
+FROM c
+""",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token windows, 8-token overlap) — the
+    RAG/embedding-corpus preprocessing step; sequence+explode+slice, a
+    shuffle-free map-side row multiplier."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    out = T.chunk_documents(t["documents"], chunk_tokens=64, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "n_tokens",
+        "chunk_text",
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+WITH red AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{7,14}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+           'https?://[^ ]+', '<URL>', 'g') AS clean_text
+  FROM documents
+)
+SELECT doc_id, md5(clean_text) AS clean_fp,
+       CAST(len(regexp_extract_all(clean_text, '<EMAIL>|<PHONE>|<SSN>|<URL>'))
+            AS BIGINT) AS n_redactions
+FROM red
+""",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails/phones/SSN-shapes/URLs → placeholders);
+    RE2-safe patterns so Spark's Java regex and RE2 engines agree
+    byte-for-byte — verified via md5 of the redacted text."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    out = T.redact_pii(t["documents"])
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_fp"), F.col("n_redactions")
+    )

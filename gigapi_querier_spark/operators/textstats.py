@@ -84,3 +84,67 @@ def fingerprint(df: DataFrame, text_col: str = "text", length: int = 16) -> Data
     return df.select(
         "doc_id", F.substring(F.md5(norm), 1, length).alias("fingerprint")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    windows of ``chunk_tokens`` advancing by ``chunk_tokens - overlap``
+    (the standard overlapping-chunk scheme for embedding/RAG corpora).
+
+    Pure built-ins: one sequence() of chunk starts + explode + slice —
+    a map-side row multiplier, no shuffle, fully parallel. Emits
+    (id, chunk_idx, n_tokens, chunk_text).
+    """
+    stride = chunk_tokens - overlap
+    assert stride > 0, "overlap must be smaller than chunk_tokens"
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    # chunk starts: 1, 1+stride, ... covering every token at least once
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    out = df.select(
+        F.col(id_col),
+        w.alias("w"),
+        F.explode(starts).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("w"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+#: Redaction patterns kept to RE2-safe syntax (no backrefs/lookarounds) so
+#: Spark (Java regex) and any RE2-based engine agree byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # SSN before PHONE: the looser phone pattern would consume SSN shapes
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    (r"\+?[0-9][0-9()\- ]{7,14}[0-9]", "<PHONE>"),
+    (r"https?://[^ ]+", "<URL>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chained regexp_replace PII scrubbing (emails, phones, SSN-shaped
+    ids, URLs) — the redaction pass a training corpus runs before
+    tokenization. One map pass, no shuffle; patterns are engine-portable
+    by construction. Adds ``clean_text`` and ``n_redactions``."""
+    text = F.col(text_col)
+    clean = text
+    for pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    # redaction count = how many placeholder tokens appeared
+    placeholders = "|".join(t for _, t in PII_PATTERNS)
+    n_red = F.size(F.regexp_extract_all(clean, F.lit(placeholders), 0)).cast("long")
+    return df.withColumn("clean_text", clean).withColumn("n_redactions", n_red)

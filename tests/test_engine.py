@@ -256,3 +256,26 @@ def test_read_json_auto_shim(engine, tmp_path):
         f"SELECT sum(a) AS s FROM read_json_auto('{nd}')", "mydb"
     )
     assert rows == [{"s": 6}]
+
+
+def test_concurrent_different_time_ranges_no_view_race(engine):
+    """Two concurrent queries on the SAME table with DIFFERENT pruned file
+    sets must each see their own binding (temp views are session-global —
+    the bind+analyze critical section is locked)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def day_count(day: int) -> int:
+        rows = engine.query_rows(
+            f"SELECT count(*) AS n FROM weather"
+            f" WHERE time >= '2024-01-0{day}T00:00:00Z'"
+            f" AND time <= '2024-01-0{day}T23:59:59Z'",
+            "mydb",
+        )
+        return rows[0]["n"]
+
+    with ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(day_count, [1, 2, 3] * 8))
+    # day 1 and 2 have 24 rows; day 3 adds the hour=12 drift block
+    expected = {1: 24, 2: 24, 3: 36}
+    for day, n in zip([1, 2, 3] * 8, results):
+        assert n == expected[day], (day, n)

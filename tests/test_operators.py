@@ -180,3 +180,47 @@ def test_cosine_topk_batch_matches_single(spark, sf_dir):
         for row in single:
             assert batch[(qid, row["vec_id"])] == row["cosine_sim"]
     assert len(batch) == 15
+
+
+def test_chunk_documents_overlap(spark):
+    from gigapi_querier_spark.operators import textstats as T
+
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = {
+        r["chunk_idx"]: r
+        for r in T.chunk_documents(df, chunk_tokens=64, overlap=8).collect()
+    }
+    # 150 tokens, stride 56 → ceil((150-8)/56) = 3 chunks
+    assert set(chunks) == {0, 1, 2}
+    assert chunks[0]["n_tokens"] == 64
+    c0 = chunks[0]["chunk_text"].split(" ")
+    c1 = chunks[1]["chunk_text"].split(" ")
+    assert c0[56:] == c1[:8]  # 8-token overlap
+    assert c1[0] == "w56"
+    assert chunks[2]["n_tokens"] == 150 - 2 * 56  # tail chunk
+    # every token covered
+    covered = set()
+    for r in chunks.values():
+        covered.update(r["chunk_text"].split(" "))
+    assert len(covered) == 150
+
+
+def test_redact_pii(spark):
+    from gigapi_querier_spark.operators import textstats as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and site https://x.io/page now"),
+            (2, "ssn 123-45-6789 phone +1 (555) 123-4567 end"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1]["clean_text"] and "<URL>" in out[1]["clean_text"]
+    assert "bob@" not in out[1]["clean_text"]
+    assert out[1]["n_redactions"] == 2
+    assert "<SSN>" in out[2]["clean_text"] and "<PHONE>" in out[2]["clean_text"]
+    assert out[3]["clean_text"] == "nothing sensitive here"
+    assert out[3]["n_redactions"] == 0
