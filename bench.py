@@ -61,11 +61,12 @@ def main() -> None:
         qs[name](spark, SF_DIR).toArrow()
     spark.catalog.clearCache()
 
-    # Two measured passes, per-query MIN: the host is time-shared and
+    # Three measured passes, per-query MIN: the host is time-shared and
     # single-pass numbers swing ±3×; the min of cold-data passes is the
     # engine's actual cost. Caches are cleared before every measurement.
+    # (The DuckDB baseline runs the identical warmup + min-of-3 protocol.)
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             rows = qs[name](spark, SF_DIR).toArrow()

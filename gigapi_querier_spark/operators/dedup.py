@@ -322,30 +322,30 @@ def jaccard_pairs(
         spread(df), id_col, text_col, width=width, extra_cols=block_cols, distinct=True
     )
     block = [F.col(c) for c in block_cols]
-    # No persist: the self-join recomputes the (cheap, map-only) shingle
-    # explode per side and lets the join exchange both on the equi-keys —
-    # measured faster here than materializing the ~100×-wider exploded
-    # relation to cache (cache write+read of 500k string rows costs more
-    # than a second pipelined scan). At 100 TB, where a second source scan
-    # is the dominant cost, persist (or write out bucketed by shingle)
-    # before the join instead.
     # Join key = 60-bit md5 of the shingle, not the string: long compares/
     # hashes beat ~25-char strings in the join and the shuffle carries
-    # 8-byte keys (measured ~20% faster end-to-end; collisions at 2^60
-    # are negligible and both engines hash identically so the oracle
-    # agrees bit-for-bit).
-    sh = sets.select(
-        F.col(id_col),
-        *block,
-        F.size("shs").cast("long").alias("n"),
-        F.explode("shs").alias("sh_str"),
-    ).select(
-        F.col(id_col),
-        *block,
-        F.col("n"),
-        F.conv(F.substring(F.md5(F.col("sh_str")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("sh"),
+    # 8-byte keys (collisions at 2^60 are negligible and both engines hash
+    # identically so the oracle agrees bit-for-bit). The exploded relation
+    # persists: the self-join's two reads hit a narrow all-numeric cache
+    # (id, block, n, hash) instead of recomputing the shingle pipeline per
+    # side — with int keys the cache is cheap and measurably more stable
+    # under load than recompute (min 859/med 910 ms vs 964/1106 at sf0.1).
+    sh = (
+        sets.select(
+            F.col(id_col),
+            *block,
+            F.size("shs").cast("long").alias("n"),
+            F.explode("shs").alias("sh_str"),
+        )
+        .select(
+            F.col(id_col),
+            *block,
+            F.col("n"),
+            F.conv(F.substring(F.md5(F.col("sh_str")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sh"),
+        )
+        .persist()
     )
     a, b = sh.alias("a"), sh.alias("b")
     cond = (F.col("a.sh") == F.col("b.sh")) & (

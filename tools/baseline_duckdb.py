@@ -30,7 +30,7 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    # Same protocol as bench.py: untimed warmup pass, then two measured
+    # Same protocol as bench.py: untimed warmup pass, then three measured
     # passes taking the per-query MIN; results materialize as Arrow tables
     # (the reference's FlightSQL result edge) on both engines.
     for name in HEADLINE:
@@ -38,7 +38,7 @@ def main() -> None:
         if sql is not None:
             con.execute(sql).arrow()
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             sql = oracles.get(name)
             if sql is None:
