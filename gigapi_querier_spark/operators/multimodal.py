@@ -5,11 +5,13 @@ column with a struct of metadata beside it; decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so the
 payload never crosses the Python boundary row-at-a-time.
 
-The actual codecs (PIL/libsndfile/ffmpeg) are NOT in this container, so
-``decode_image`` below raises ``NotImplementedError`` unless
-``fake_decode=True``, which substitutes a deterministic stand-in (derived
-from the payload's md5) — the Spark-side plumbing (schema, batching,
-partition behavior) is real and tested either way.
+Codecs: uncompressed formats decode for REAL in pure numpy — BMP
+(24-bit BI_RGB, incl. nearest-neighbor resize + re-encode) and WAV
+(PCM-16) need no external library. Compressed formats (JPEG/PNG/MP3/
+video) require PIL/libsndfile/ffmpeg, which are NOT in this container:
+those payloads raise ``NotImplementedError`` unless ``fake_decode=True``
+substitutes a deterministic md5-derived stand-in. The Spark-side plumbing
+(schema, batching, partition behavior) is identical on every path.
 
 Scale: mapInPandas streams Arrow batches per partition — constant memory,
 no collect, no shuffle; partition count alone controls parallelism.
@@ -20,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,6 +70,114 @@ def to_assets(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> 
     )
 
 
+# --- real pure-numpy codecs for uncompressed formats -----------------------
+
+
+def decode_bmp(b: bytes) -> "np.ndarray | None":
+    """Decode a 24-bit uncompressed (BI_RGB) BMP to an (h, w, 3) uint8 RGB
+    array; None when the payload isn't such a BMP."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_offset = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    if data_offset + row_size * h > len(b):
+        return None
+    arr = (
+        np.frombuffer(b, np.uint8, count=row_size * h, offset=data_offset)
+        .reshape(h, row_size)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    if not top_down:
+        arr = arr[::-1]
+    return arr[..., ::-1]  # stored BGR → RGB
+
+
+def encode_bmp(img: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP."""
+    h, w = img.shape[:2]
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, row_size), np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, bottom-up
+    pixels = rows.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + pixels
+
+
+def resize_rgb(img: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resize — one fancy-index gather, vectorized."""
+    ys = (np.arange(height) * img.shape[0] // height).astype(np.int64)
+    xs = (np.arange(width) * img.shape[1] // width).astype(np.int64)
+    return img[ys][:, xs]
+
+
+def decode_wav(b: bytes) -> "tuple[int, np.ndarray] | None":
+    """Decode a PCM-16 RIFF/WAVE payload → (sample_rate, (n, channels)
+    int16 array); None when the payload isn't PCM-16 WAV."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16 or channels < 1:
+        return None
+    n = len(data) // (2 * channels)
+    samples = np.frombuffer(data, "<i2", count=n * channels).reshape(n, channels)
+    return rate, samples
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, str] | None:
+    """(width, height, feature-hash) via the pure-numpy codecs; None when
+    the format needs an external library. For audio, width = sample rate
+    and height = frame count (documented convention)."""
+    img = decode_bmp(payload)
+    if img is not None:
+        return (
+            img.shape[1],
+            img.shape[0],
+            hashlib.md5(np.ascontiguousarray(img).tobytes()).hexdigest()[:16],
+        )
+    wav = decode_wav(payload)
+    if wav is not None:
+        rate, samples = wav
+        return rate, samples.shape[0], hashlib.md5(samples.tobytes()).hexdigest()[:16]
+    return None
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     """Deterministic stand-in for an image decoder: pseudo width/height and
     a feature hash derived from the payload digest."""
@@ -79,19 +190,26 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 def decode_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
     """Decode assets and emit per-asset features via mapInPandas.
 
-    With ``fake_decode=False`` this raises at execution time — the real
-    decoder (PIL et al.) is not installed in this environment; the
-    surrounding plan, schema and batch shape are the production ones.
+    BMP (24-bit) and WAV (PCM-16) payloads decode for real (pure numpy).
+    Other formats need external codecs (absent here): they fall back to
+    the deterministic stand-in when ``fake_decode=True``, else raise.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError(
-                    "image/audio codecs not available in this environment; "
-                    "pass fake_decode=True for the deterministic stand-in"
-                )
-            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            decoded = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                d = _real_decode(raw)
+                if d is None:
+                    if not fake_decode:
+                        raise NotImplementedError(
+                            "compressed-format codecs not available in this "
+                            "environment (BMP/WAV decode natively); pass "
+                            "fake_decode=True for the deterministic stand-in"
+                        )
+                    d = _fake_decode(raw)
+                decoded.append(d)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -122,30 +240,37 @@ RESIZE_SCHEMA = StructType(
 def resize(df: DataFrame, width: int, height: int, fake_decode: bool = False) -> DataFrame:
     """Resize stage via mapInPandas: payload → decoded → resized → re-encoded.
 
-    The codec is stubbed (no imaging libs in this environment): with
-    ``fake_decode=True`` the 'resized' payload is a deterministic digest
-    chain carrying the target dims; without it, NotImplementedError at
-    execution — the distributed plumbing (schema, Arrow batching,
-    per-partition streaming) is the production shape either way.
+    BMP payloads resize for real: numpy decode → nearest-neighbor gather →
+    BMP re-encode. Compressed formats fall back to a deterministic digest
+    chain carrying the target dims when ``fake_decode=True``, else raise —
+    the distributed plumbing (schema, Arrow batching, per-partition
+    streaming) is the production shape on every path.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError(
-                    "image codecs not available; pass fake_decode=True"
-                )
-            resized = [
-                hashlib.md5(bytes(p) + f":{width}x{height}".encode()).digest()
-                for p in pdf["payload"]
-            ]
+            resized = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                img = decode_bmp(raw)
+                if img is not None:
+                    resized.append(encode_bmp(resize_rgb(img, width, height)))
+                elif fake_decode:
+                    resized.append(
+                        hashlib.md5(raw + f":{width}x{height}".encode()).digest()
+                    )
+                else:
+                    raise NotImplementedError(
+                        "compressed-format codecs not available (BMP resizes "
+                        "natively); pass fake_decode=True"
+                    )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
                     "payload": resized,
                     "n_bytes": [len(r) for r in resized],
-                    "checksum": [r.hex() for r in resized],
+                    "checksum": [hashlib.md5(r).hexdigest() for r in resized],
                     "target_w": width,
                     "target_h": height,
                 }

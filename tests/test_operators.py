@@ -124,7 +124,11 @@ def test_multimodal_resize_stub(spark, sf_dir):
     out = M.resize(assets, 224, 224, fake_decode=True).collect()
     assert len(out) == 10
     assert all(r["target_w"] == 224 and r["n_bytes"] == 16 for r in out)
-    assert all(r["checksum"] == bytes(r["payload"]).hex() for r in out)
+    import hashlib as _hl
+
+    assert all(
+        r["checksum"] == _hl.md5(bytes(r["payload"])).hexdigest() for r in out
+    )
 
 
 def test_asof_join_forward(spark):
@@ -224,3 +228,74 @@ def test_redact_pii(spark):
     assert "<SSN>" in out[2]["clean_text"] and "<PHONE>" in out[2]["clean_text"]
     assert out[3]["clean_text"] == "nothing sensitive here"
     assert out[3]["n_redactions"] == 0
+
+
+def _make_bmp(w, h):
+    import numpy as np
+
+    from gigapi_querier_spark.operators.multimodal import encode_bmp
+
+    img = (np.arange(w * h * 3, dtype=np.int64) % 251).astype("uint8").reshape(h, w, 3)
+    return img, encode_bmp(img)
+
+
+def test_multimodal_real_bmp_roundtrip(spark):
+    """BMP payloads decode for REAL (pure numpy) — dims and pixel-exact
+    round-trip, including row padding (w=3 → padded rows)."""
+    import numpy as np
+
+    from gigapi_querier_spark.operators import multimodal as M
+    from gigapi_querier_spark.operators.multimodal import decode_bmp
+
+    img, payload = _make_bmp(3, 5)
+    assert np.array_equal(decode_bmp(payload), img)
+
+    df = spark.createDataFrame([(1, payload)], "asset_id long, payload binary")
+    assets = M.to_assets(df, "asset_id", "payload", "image")
+    feats = M.decode_features(assets).collect()  # no fake_decode needed
+    assert feats[0]["width"] == 3 and feats[0]["height"] == 5
+
+    resized = M.resize(assets, 8, 4).collect()
+    out_img = decode_bmp(bytes(resized[0]["payload"]))
+    assert out_img.shape == (4, 8, 3)
+
+
+def test_multimodal_real_wav_decode(spark):
+    """PCM-16 WAV decodes natively: sample rate and frame count emerge as
+    (width, height) per the documented audio convention."""
+    import numpy as np
+
+    from gigapi_querier_spark.operators import multimodal as M
+    from gigapi_querier_spark.operators.multimodal import decode_wav
+
+    samples = (np.arange(32, dtype="<i2") * 512).reshape(16, 2)
+    data = samples.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    wav = (
+        b"RIFF" + (4 + 8 + len(fmt) + 8 + len(data)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    rate, got = decode_wav(wav)
+    assert rate == 8000 and np.array_equal(got, samples)
+
+    df = spark.createDataFrame([(7, wav)], "asset_id long, payload binary")
+    feats = M.decode_features(M.to_assets(df, "asset_id", "payload", "audio")).collect()
+    assert feats[0]["width"] == 8000 and feats[0]["height"] == 16
+
+
+def test_multimodal_compressed_still_raises(spark):
+    from gigapi_querier_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\nnotreallyapng")], "asset_id long, payload binary"
+    )
+    assets = M.to_assets(df, "asset_id", "payload", "image")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)codec|NotImplemented"):
+        M.decode_features(assets).collect()
