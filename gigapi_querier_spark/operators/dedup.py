@@ -219,9 +219,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs: documents agreeing on any LSH band.
 
-    Bands hash ``rows_per_band`` consecutive signature entries; the
-    self-join keys on (band, band_value), so only docs in the same bucket
-    are ever compared. Output: (doc_a, doc_b) with doc_a < doc_b.
+    Bands hash ``rows_per_band`` consecutive signature entries; documents
+    sharing a (band, band_value) bucket pair up. Output: (doc_a, doc_b)
+    with doc_a < doc_b.
+
+    Shape: ONE exchange — groupBy (band, bucket-hash) collects each
+    bucket's sorted id list, and in-bucket pairs generate as an array
+    expression + explode (a band self-join would exchange the relation
+    twice and re-shuffle for the distinct). Bucket memory is O(bucket
+    size) ids; pair output is O(bucket²) either way — LSH banding exists
+    precisely to keep buckets small, and AQE splits a skewed bucket's
+    downstream partitions.
     """
     n_bands = num_hashes // rows_per_band
     # posexplode over an array of band hashes: ONE pass over the signature
@@ -241,19 +249,23 @@ def minhash_lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    # The self-join reads this relation twice; persisting avoids a second
-    # full signature computation (explode + 8×md5 over every shingle).
-    bands = sig.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bv")).persist()
-    a = bands.alias("a")
-    b = bands.alias("b")
+    bands = sig.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bv"))
+    buckets = (
+        bands.groupBy("band", "bv")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
