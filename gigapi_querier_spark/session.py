@@ -64,6 +64,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Whole-stage-codegen class cache (STATIC conf — takes effect at
+        # session creation). The default 100 entries thrashes under a
+        # mixed workload: ~16 distinct queries generate ~100 classes per
+        # cycle, so every query recompiled every cycle (~0.3-0.5 s each).
+        # A query service compiles each plan once and keeps it.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # --- Python <-> JVM boundary is Arrow-batched everywhere ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
