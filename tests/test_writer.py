@@ -145,3 +145,48 @@ def test_compact_table_roundtrip(spark, tmp_path):
         meta = json.load(open(m))
         for fe in meta["files"]:
             assert os.path.exists(os.path.join(os.path.dirname(m), fe["path"]))
+
+
+def test_materialize_rollup_roundtrip(spark, tmp_path):
+    """Hourly rollup lands in the reference layout, is queryable through
+    the engine, and matches direct aggregation of the raw table."""
+    from pyspark.sql import functions as F
+
+    from gigapi_querier_spark.engine import QueryEngine
+    from gigapi_querier_spark.sources.rollup import materialize_rollup
+    from gigapi_querier_spark.sources.writer import write_table
+
+    root = str(tmp_path / "ruroot")
+    ns = 1_700_000_000 * 1_000_000_000
+    raw = spark.createDataFrame(
+        [
+            (ns + i * 600_000_000_000, ("a" if i % 2 else "b"), float(i))
+            for i in range(24)  # 10-min spacing → 4h of data
+        ],
+        "time long, tag string, v double",
+    )
+    write_table(raw, root, "rdb", "raw")
+    materialize_rollup(
+        spark,
+        root,
+        "rdb",
+        "raw",
+        "raw_1h",
+        bucket_ns=3_600_000_000_000,
+        keys=["tag"],
+        aggs={"n": F.count("*"), "sum_v": F.sum("v"), "max_v": F.max("v")},
+    )
+    eng = QueryEngine(spark, root=root)
+    got = {
+        (r["time"], r["tag"]): (r["n"], r["sum_v"], r["max_v"])
+        for r in eng.query_rows("SELECT time, tag, n, sum_v, max_v FROM raw_1h", "rdb")
+    }
+    expect = {
+        (r["time"], r["tag"]): (r["n"], r["sum_v"], r["max_v"])
+        for r in raw.groupBy(
+            (F.expr("time DIV 3600000000000") * 3_600_000_000_000).alias("time"), "tag"
+        )
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"), F.max("v").alias("max_v"))
+        .collect()
+    }
+    assert got == expect and len(got) == len(expect) > 0
