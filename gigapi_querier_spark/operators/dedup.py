@@ -191,8 +191,11 @@ def minhash_signatures(
                 " ".join(w[i : i + width])
                 for i in range(max(len(w) - (width - 1), 1))
             ]
-            for w in (t.split(" ") for t in texts)
+            for w in ((t or "").split(" ") for t in texts)
         ]
+        if not shingle_lists:
+            yield_empty = {f"h{i}": pd.Series([], dtype="int64") for i in range(num_hashes)}
+            return pd.DataFrame(yield_empty)
         lens = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64)
         digests = b"".join(
             hashlib.md5(s.encode()).digest()[:4]
@@ -289,7 +292,9 @@ def simhash16(
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        word_lists = [t.split(" ") for t in texts]
+        word_lists = [(t or "").split(" ") for t in texts]
+        if not word_lists:
+            return pd.Series([], dtype="int64")
         lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64)
         digests = b"".join(
             hashlib.md5(w.encode()).digest()[:8]

@@ -299,3 +299,18 @@ def test_multimodal_compressed_still_raises(spark):
 
     with _pytest.raises(Exception, match="(?i)codec|NotImplemented"):
         M.decode_features(assets).collect()
+
+
+def test_sketches_handle_null_and_empty_text(spark):
+    """Null/empty text must not crash the vectorized sketch UDFs (split
+    of '' yields [''], so every doc still gets a sketch)."""
+    from gigapi_querier_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "hello world foo"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    sig = {r["doc_id"]: r for r in D.minhash_signatures(df).collect()}
+    assert set(sig) == {1, 2, 3}
+    assert sig[2]["h0"] == sig[3]["h0"]  # None ≡ "" by construction
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash16(df).collect()}
+    assert set(sh) == {1, 2, 3} and all(v is not None for v in sh.values())
