@@ -41,6 +41,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # Broadcast threshold 2 MB (default 10 MB): the default is sized
+        # for "fits in memory", not "worth collecting to the driver and
+        # shipping to every executor" — at the default, a borderline FACT
+        # side (lineitem at small SF) gets broadcast, paying a 600k-row
+        # driver collect per query. 2 MB keeps genuinely fixed-size dims
+        # (region/nation/supplier) on the broadcast path and pushes
+        # anything that grows with data volume to shuffle joins — the
+        # scale-correct default; AQE may still upgrade a join whose
+        # runtime (post-filter) size fits.
+        .config("spark.sql.autoBroadcastJoinThreshold", "2097152")
         # --- adaptive execution: runtime re-plan at scale ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
