@@ -67,6 +67,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_mixture_sample",
     "text_chunk_documents",
     "text_redact_pii",
+    "ts_ohlc_hourly",
+    "ts_range_join_window",
     # -- never checked as of round 1 (similarity / text / time-series /
     #    as-of / JSON / relational batches 3-5) --
     "ann_cosine_topk",

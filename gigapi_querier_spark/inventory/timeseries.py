@@ -271,3 +271,95 @@ FROM (
 GROUP BY user_id
 """
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC downsampling: the classic financial/time-series rollup — per hourly
+# bucket: first (open), max (high), min (low), last (close) of `value`.
+# Scale: one window pass ordered inside the bucket + one aggregation —
+# both shuffle on the bucket key only; deterministic tiebreak on
+# (ts, event_id) keeps first/last identical across engines.
+# --------------------------------------------------------------------------
+_OHLC_SPARK = """
+WITH e AS (
+  SELECT (ts DIV 3600000000000) * 3600 AS bucket_s, ts, event_id, value,
+         row_number() OVER (PARTITION BY ts DIV 3600000000000
+                            ORDER BY ts, event_id)       AS rn_f,
+         row_number() OVER (PARTITION BY ts DIV 3600000000000
+                            ORDER BY ts DESC, event_id DESC) AS rn_l
+  FROM events
+)
+SELECT bucket_s,
+       round(max(CASE WHEN rn_f = 1 THEN value END), 2) AS open,
+       round(max(value), 2)                             AS high,
+       round(min(value), 2)                             AS low,
+       round(max(CASE WHEN rn_l = 1 THEN value END), 2) AS close,
+       count(*)                                         AS n
+FROM e GROUP BY bucket_s
+"""
+
+
+@register(
+    "ts_ohlc_hourly",
+    oracle="""
+WITH e AS (
+  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_s,
+         ts, event_id, value,
+         row_number() OVER (PARTITION BY epoch_ns(ts) // 3600000000000
+                            ORDER BY ts, event_id)       AS rn_f,
+         row_number() OVER (PARTITION BY epoch_ns(ts) // 3600000000000
+                            ORDER BY ts DESC, event_id DESC) AS rn_l
+  FROM events
+)
+SELECT bucket_s,
+       round(max(CASE WHEN rn_f = 1 THEN value END), 2) AS open,
+       round(max(value), 2)                             AS high,
+       round(min(value), 2)                             AS low,
+       round(max(CASE WHEN rn_l = 1 THEN value END), 2) AS close,
+       count(*)                                         AS n
+FROM e GROUP BY bucket_s
+""",
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(_OHLC_SPARK)
+
+
+# --------------------------------------------------------------------------
+# Bounded range join: every click within the 5 minutes BEFORE a purchase
+# (same user) — interval containment, not as-of nearest. Scale: equi-key
+# (user_id) sort-merge join with the range as a join-time predicate; never
+# a cartesian — the equi key bounds the pair space, AQE splits hot users.
+# --------------------------------------------------------------------------
+_RANGE_SPARK = """
+SELECT p.event_id,
+       p.user_id,
+       count(c.ts)                            AS clicks_5m,
+       round(coalesce(sum(c.value), 0), 2)    AS click_value_5m
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - 300000000000
+ AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id
+"""
+
+
+@register(
+    "ts_range_join_window",
+    oracle="""
+SELECT p.event_id,
+       p.user_id,
+       count(c.ts)                          AS clicks_5m,
+       round(coalesce(sum(c.value), 0), 2)  AS click_value_5m
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 5 MINUTE
+ AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id
+""",
+)
+def ts_range_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(_RANGE_SPARK)
