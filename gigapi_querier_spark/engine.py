@@ -84,6 +84,13 @@ class QueryEngine:
         if upper == "SHOW TABLES":
             return self._one_col_df("table_name", self.catalog.tables(db))
 
+        # DuckDB session statements (SET threads=4; PRAGMA memory_limit=...)
+        # configure the embedded engine in the reference; here execution
+        # tuning is session-level Spark conf, so accept-and-ignore keeps
+        # pasted scripts working instead of erroring on line one.
+        if re.match(r"(?:SET|PRAGMA|INSTALL|LOAD)\b", sql, re.IGNORECASE):
+            return self._one_col_df("status", ["ok"])
+
         # DESCRIBE <table> — DuckDB-dialect meta command a reference user
         # types into the UI; bind the table's files then let Spark answer.
         m = re.match(r"(?:DESCRIBE|DESC)\s+(?:(\w+)\.)?(\w+)\s*;?$", sql, re.IGNORECASE)

@@ -279,3 +279,11 @@ def test_concurrent_different_time_ranges_no_view_race(engine):
     expected = {1: 24, 2: 24, 3: 36}
     for day, n in zip([1, 2, 3] * 8, results):
         assert n == expected[day], (day, n)
+
+
+def test_duckdb_session_statements_noop(engine):
+    for sql in ("SET threads=4", "PRAGMA memory_limit='2GB'", "INSTALL httpfs"):
+        rows = engine.query_rows(sql, "mydb")
+        assert rows == [{"status": "ok"}]
+    # plain queries still work after
+    assert engine.query_rows("SELECT 1 AS x", "mydb") == [{"x": 1}]
