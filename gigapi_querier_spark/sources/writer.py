@@ -143,9 +143,15 @@ def compact_table(
 
     Scale: each directory compacts as an independent distributed
     read→coalesce→write; the driver only lists directories and renames.
+
+    Output names carry a per-run unique token (``compacted-<run>-NNNNN``)
+    so re-compacting a directory that already contains a previous run's
+    output can never collide with — and then delete — its own freshly
+    moved files.
     """
     import math
     import shutil
+    import uuid
 
     base = os.path.join(root, db, table, "data")
     compacted = 0
@@ -167,14 +173,20 @@ def compact_table(
         new_parts = sorted(
             f for f in os.listdir(tmp_out) if f.endswith(".parquet")
         )
-        # move new files in (unique names), then drop the old ones
+        # move new files in under run-unique names, then drop the old
+        # ones — the run token guarantees an input from a prior
+        # compaction is never the target of a move (which would make the
+        # cleanup loop delete the file we just wrote)
+        run = uuid.uuid4().hex[:8]
+        moved = []
         for i, part in enumerate(new_parts):
-            os.replace(
-                os.path.join(tmp_out, part),
-                os.path.join(dirpath, f"compacted-{i:05d}.parquet"),
-            )
+            dest = os.path.join(dirpath, f"compacted-{run}-{i:05d}.parquet")
+            assert dest not in paths, f"compaction name collision: {dest}"
+            os.replace(os.path.join(tmp_out, part), dest)
+            moved.append(dest)
         for p in paths:
-            os.remove(p)
+            if p not in moved:
+                os.remove(p)
         shutil.rmtree(os.path.join(dirpath, "tmp"), ignore_errors=True)
         compacted += 1
     if compacted:

@@ -147,6 +147,43 @@ def test_compact_table_roundtrip(spark, tmp_path):
             assert os.path.exists(os.path.join(os.path.dirname(m), fe["path"]))
 
 
+def test_compact_table_twice_with_appends(spark, tmp_path):
+    """ADVICE r2 (high): re-compacting a directory whose prior compaction
+    output is among the inputs must not delete the fresh output. Compact,
+    append new small files, compact again — all rows must survive."""
+    import glob
+
+    from gigapi_querier_spark.engine import QueryEngine
+    from gigapi_querier_spark.sources.writer import compact_table, write_table
+
+    root = str(tmp_path / "c2root")
+    ns = 1_700_000_000 * 1_000_000_000
+    # all rows inside one hour so every append hits the SAME partition dir
+    def batch(b):
+        return spark.createDataFrame(
+            [(ns + (b * 4 + i) * 1_000_000_000, float(b * 4 + i)) for i in range(4)],
+            "time long, v double",
+        ).coalesce(1)
+
+    for b in range(3):
+        write_table(batch(b), root, "cdb", "ct")
+    assert compact_table(spark, root, "cdb", "ct") >= 1
+
+    for b in range(3, 6):
+        write_table(batch(b), root, "cdb", "ct")
+    assert compact_table(spark, root, "cdb", "ct") >= 1
+
+    data_glob = root + "/cdb/ct/data/date=*/hour=*/*.parquet"
+    remaining = [
+        p for p in glob.glob(data_glob) if "/tmp/" not in p[len(root) :]
+    ]
+    assert remaining, "re-compaction emptied the partition directory"
+    eng = QueryEngine(spark, root=root)
+    assert eng.query_rows("SELECT count(*) AS n FROM ct", "cdb") == [{"n": 24}]
+    got = eng.query_rows("SELECT sum(v) AS s FROM ct", "cdb")
+    assert got == [{"s": sum(float(i) for i in range(24))}]
+
+
 def test_materialize_rollup_roundtrip(spark, tmp_path):
     """Hourly rollup lands in the reference layout, is queryable through
     the engine, and matches direct aggregation of the raw table."""
