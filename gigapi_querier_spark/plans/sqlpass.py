@@ -143,6 +143,14 @@ def _has_top_level_disjunction(where_clause: str) -> bool:
                 # word-start check: previous char must not be part of an
                 # identifier (e.g. the 'or' in 'priority')
                 if i == 0 or not (where_clause[i - 1].isalnum() or where_clause[i - 1] in "_."):
+                    # 'IS NOT' (NULL / DISTINCT FROM) is a single
+                    # operator, not a negation scope — `sensor IS NOT
+                    # NULL` must not disable time pruning (ADVICE r2)
+                    if ch in "nN" and re.search(
+                        r"(?i)\bIS\s*$", where_clause[:i]
+                    ):
+                        i += 1
+                        continue
                     return True
         i += 1
     return False
@@ -354,12 +362,9 @@ _FN_ALIASES = {
     "list_max": "array_max",
     "list_append": "array_append",
     "list_prepend": "array_prepend",
-    "list_position": "array_position",
-    "list_indexof": "array_position",
     "list_sort": "sort_array",
     "list_concat": "concat",
     "list_cat": "concat",
-    "list_slice": "slice",
     "list_transform": "transform",
     "list_filter": "filter",
     "list_reduce": "reduce",
@@ -410,13 +415,85 @@ def _outside_quotes(sql: str, fn) -> str:
     return "".join(parts)
 
 
+#: Spark/DuckDB higher-order functions whose last argument is a lambda —
+#: `transform(xs, x -> 0)` must NOT be read as JSON extraction on `x`.
+_HOF_FNS = frozenset(
+    {
+        "transform",
+        "filter",
+        "aggregate",
+        "reduce",
+        "exists",
+        "forall",
+        "any_match",
+        "zip_with",
+        "array_sort",
+        "map_filter",
+        "map_zip_with",
+        "transform_keys",
+        "transform_values",
+        "list_transform",
+        "list_filter",
+        "list_reduce",
+        "list_aggregate",
+    }
+)
+
+
+def _in_lambda_position(sql: str, start: int) -> bool:
+    """True when the identifier at ``start`` sits directly after ``(`` or
+    ``,`` of a higher-order function call — i.e. it is a lambda
+    parameter, not a JSON column (ADVICE r2)."""
+    j = start - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    if j < 0 or sql[j] not in "(,":
+        return False
+    # find the innermost unmatched '(' before the identifier, then the
+    # function name in front of it
+    bal = 0
+    k = start - 1
+    while k >= 0:
+        ch = sql[k]
+        if ch == ")":
+            bal += 1
+        elif ch == "(":
+            if bal == 0:
+                break
+            bal -= 1
+        k -= 1
+    if k <= 0:
+        return False
+    e = k - 1
+    while e >= 0 and sql[e].isspace():
+        e -= 1
+    s = e
+    while s >= 0 and (sql[s].isalnum() or sql[s] == "_"):
+        s -= 1
+    return sql[s + 1 : e + 1].lower() in _HOF_FNS
+
+
 def _rewrite_json_arrows(sql: str) -> str:
     def repl(m: re.Match) -> str:
         base = m.group(1)
         if base.upper() in ("AND", "OR", "NOT", "WHERE", "ON", "THEN", "ELSE"):
             return m.group(0)
+        steps = list(_JSON_STEP.finditer(m.group(2)))
+        # a single plain-arrow step with an INTEGER operand is far more
+        # likely a lambda body (`x -> 0`) than JSON array indexing — the
+        # ->> form still covers the extraction use; leave the text alone
+        # so a genuine lambda stays valid (ADVICE r2)
+        if (
+            len(steps) == 1
+            and steps[0].group(2) is not None
+            and "->>" not in m.group(2)
+        ):
+            return m.group(0)
+        # bare identifier in lambda-parameter position of a HOF call
+        if "." not in base and _in_lambda_position(sql, m.start()):
+            return m.group(0)
         path = ""
-        for step in _JSON_STEP.finditer(m.group(2)):
+        for step in steps:
             key, idx = step.group(1), step.group(2)
             path += f".{key}" if key is not None else f"[{idx}]"
         return f"get_json_object({base}, '${path}')"
@@ -484,18 +561,96 @@ def _rewrite_list_aggs(sql: str) -> str:
         pos = end
 
 
-#: str_split's delimiter is a LITERAL in DuckDB but a regex in Spark's
-#: split(): escape metachars when the delimiter is a plain quoted literal.
-_STR_SPLIT_LIT = re.compile(
-    r"\b(?:str_split|string_split|string_to_array)\s*\(\s*([^,()']+)\s*,\s*'([^']*)'\s*\)",
+def _split_top_args(argstr: str) -> list[str]:
+    """Split a function's argument string on TOP-LEVEL commas (honoring
+    nested parens and quoted literals)."""
+    args: list[str] = []
+    depth = 0
+    cur_start = 0
+    i, n = 0, len(argstr)
+    while i < n:
+        ch = argstr[i]
+        if ch == "'":
+            i += 1
+            while i < n and argstr[i] != "'":
+                i += 1
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(argstr[cur_start:i].strip())
+            cur_start = i + 1
+        i += 1
+    args.append(argstr[cur_start:].strip())
+    return args
+
+
+#: DuckDB functions whose Spark equivalent needs an ARGUMENT transform,
+#: not just a rename. Handled by _rewrite_arg_transforms with full
+#: balanced-paren extraction (args may be nested calls or quoted
+#: literals). Unrecognized arities are left untouched → Spark fails
+#: loudly instead of silently returning wrong rows (ADVICE r2).
+_ARG_XFORM = re.compile(
+    r"\b(str_split|string_split|string_to_array|string_split_regex"
+    r"|str_split_regex|list_slice|list_position|list_indexof)\s*\(",
     re.IGNORECASE,
 )
 
+_PLAIN_LIT = re.compile(r"^'([^']*)'$")
 
-def _escape_split_delims(sql: str) -> str:
-    return _STR_SPLIT_LIT.sub(
-        lambda m: f"split({m.group(1).strip()}, '{re.escape(m.group(2))}')", sql
-    )
+
+def _rewrite_arg_transforms(sql: str) -> str:
+    """Semantics-preserving rewrites that must touch arguments:
+
+    - ``str_split(x, '<lit>')`` → ``split(x, '<escaped>')``. DuckDB's
+      delimiter is a LITERAL; Spark's is a REGEX. Metachars are
+      re.escape()d and backslashes doubled for the SQL string-literal
+      layer (Spark drops the backslash of unrecognized escapes, so a
+      single ``\\.`` would reach the regex engine as ``.`` — ADVICE r2).
+    - ``list_slice(l, b, e)`` (inclusive end) → ``slice(l, b, e-b+1)``
+      (length). DuckDB 1.0 semantics; mixed-sign b/e unsupported → wrong
+      only where DuckDB itself is surprising.
+    - ``list_position/list_indexof(l, v)`` → ``nullif(array_position(l,
+      v), 0)`` — DuckDB returns NULL on a miss, Spark returns 0.
+    """
+    spans = _quoted_spans(sql)
+    out = []
+    pos = 0
+    while True:
+        m = _ARG_XFORM.search(sql, pos)
+        while m and any(a <= m.start() < b for a, b in spans):
+            m = _ARG_XFORM.search(sql, m.end())
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        end = _balanced_arg(sql, m.end() - 1)
+        if end is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        fn = m.group(1).lower()
+        args = _split_top_args(sql[m.end() : end - 1])
+        repl = None
+        if fn in ("str_split", "string_split", "string_to_array") and len(args) == 2:
+            lit = _PLAIN_LIT.match(args[1])
+            if lit:
+                delim = re.escape(lit.group(1)).replace("\\", "\\\\")
+                repl = f"split({args[0]}, '{delim}')"
+            else:
+                repl = f"split({args[0]}, {args[1]})"
+        elif fn in ("string_split_regex", "str_split_regex") and len(args) == 2:
+            repl = f"split({args[0]}, {args[1]})"
+        elif fn == "list_slice" and len(args) == 3:
+            b, e = args[1], args[2]
+            repl = f"slice({args[0]}, {b}, ({e}) - ({b}) + 1)"
+        elif fn in ("list_position", "list_indexof") and len(args) == 2:
+            repl = f"nullif(array_position({args[0]}, {args[1]}), 0)"
+        if repl is None:
+            out.append(sql[pos : end])
+        else:
+            out.append(sql[pos : m.start()])
+            out.append(repl)
+        pos = end
 
 
 def to_spark_sql(sql: str) -> str:
@@ -514,7 +669,7 @@ def to_spark_sql(sql: str) -> str:
       SQL functions (session.py).
     """
     sql = _rewrite_json_arrows(sql)
-    sql = _escape_split_delims(sql)
+    sql = _rewrite_arg_transforms(sql)
     sql = _rewrite_list_aggs(sql)
     sql = _outside_quotes(
         sql,

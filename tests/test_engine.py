@@ -176,6 +176,39 @@ def test_dialect_list_sum_transform(engine):
     assert rows == [{"n": 4.0}]  # 'east' has no 'o' → one chunk of length 4
 
 
+def test_dialect_str_split_dot_delimiter(engine):
+    # ADVICE r2 (medium): a '.' delimiter must split literally, not act
+    # as a match-anything regex (backslash must survive the SQL
+    # string-literal layer)
+    rows = engine.query_rows("SELECT str_split('a.b.c', '.') AS xs")
+    assert rows == [{"xs": ["a", "b", "c"]}]
+    rows = engine.query_rows("SELECT str_split('a|b|c', '|') AS xs")
+    assert rows == [{"xs": ["a", "b", "c"]}]
+
+
+def test_dialect_list_slice_inclusive_end(engine):
+    # ADVICE r2 (medium): DuckDB list_slice end is inclusive
+    rows = engine.query_rows(
+        "SELECT list_slice(list_value(1, 2, 3, 4, 5), 2, 4) AS xs"
+    )
+    assert rows == [{"xs": [2, 3, 4]}]
+
+
+def test_dialect_list_position_null_on_miss(engine):
+    rows = engine.query_rows(
+        "SELECT list_position(list_value(1, 2, 3), 9) AS p,"
+        " list_position(list_value(1, 2, 3), 2) AS q"
+    )
+    assert rows == [{"p": None, "q": 2}]
+
+
+def test_dialect_lambda_int_body(engine):
+    rows = engine.query_rows(
+        "SELECT transform(list_value(5, 6), x -> 0) AS out"
+    )
+    assert rows == [{"out": [0, 0]}]
+
+
 def test_dialect_using_sample_rows(engine):
     rows = engine.query_rows(
         "SELECT * FROM weather USING SAMPLE 5 ROWS",

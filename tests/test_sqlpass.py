@@ -179,6 +179,30 @@ def test_time_range_skipped_on_top_level_or():
     assert tr.start is not None
 
 
+def test_time_range_kept_with_is_not_null():
+    # ADVICE r2 (low): 'IS NOT' is one operator, not a negation scope —
+    # it must not disable time-based pruning on a mainline query shape.
+    tr = extract_time_range(
+        "time >= '2026-01-01T00:00:00' AND sensor IS NOT NULL"
+    )
+    assert tr.start is not None
+    tr = extract_time_range(
+        "sensor IS NOT NULL AND time >= '2026-01-01T00:00:00'"
+    )
+    assert tr.start is not None
+    tr = extract_time_range(
+        "time >= '2026-01-01T00:00:00' AND a IS NOT DISTINCT FROM b"
+    )
+    assert tr.start is not None
+    # a genuine negation scope still disables pruning
+    assert extract_time_range(
+        "NOT (time >= '2026-01-01T00:00:00')"
+    ).is_empty
+    assert extract_time_range(
+        "NOT time >= '2026-01-01T00:00:00'"
+    ).is_empty
+
+
 def test_strip_db_qualifier_position_aware():
     # VERDICT r1 wrong#2: never rewrite inside string literals; only
     # FROM/JOIN position.
@@ -225,13 +249,62 @@ def test_shim_list_functions():
 
 
 def test_shim_str_split_literal_delimiter():
-    # DuckDB splits on a literal; Spark's split takes a regex → escape
+    # DuckDB splits on a literal; Spark's split takes a regex → escape,
+    # with backslashes DOUBLED for the SQL string-literal layer (Spark
+    # drops the backslash of unrecognized escapes — ADVICE r2)
     assert to_spark_sql("SELECT str_split(s, '.') FROM t") == (
-        "SELECT split(s, '\\.') FROM t"
+        "SELECT split(s, '\\\\.') FROM t"
     )
     assert to_spark_sql("SELECT string_split(s, ' ') FROM t") == (
-        "SELECT split(s, '\\ ') FROM t"
+        "SELECT split(s, '\\\\ ') FROM t"
     )
+    # quoted-literal first arguments get escaped too (ADVICE r2: the old
+    # first-arg pattern skipped them entirely)
+    assert to_spark_sql("SELECT str_split('a.b.c', '.') AS xs") == (
+        "SELECT split('a.b.c', '\\\\.') AS xs"
+    )
+    # nested-call first argument
+    assert to_spark_sql("SELECT str_split(concat(a, b), '.')") == (
+        "SELECT split(concat(a, b), '\\\\.')"
+    )
+
+
+def test_shim_list_slice_and_position_semantics():
+    # DuckDB list_slice has an INCLUSIVE end; Spark slice takes a length
+    assert to_spark_sql("SELECT list_slice(xs, 2, 4)") == (
+        "SELECT slice(xs, 2, (4) - (2) + 1)"
+    )
+    # DuckDB list_position returns NULL on a miss; Spark returns 0
+    assert to_spark_sql("SELECT list_position(xs, 9)") == (
+        "SELECT nullif(array_position(xs, 9), 0)"
+    )
+    assert to_spark_sql("SELECT list_indexof(xs, 9)") == (
+        "SELECT nullif(array_position(xs, 9), 0)"
+    )
+
+
+def test_shim_lambda_arrows_not_json(spark):
+    # ADVICE r2: lambda bodies that are bare ints / quoted strings must
+    # not be rewritten into get_json_object
+    sql = "SELECT transform(xs, x -> 0) FROM t"
+    assert to_spark_sql(sql) == sql
+    sql = "SELECT transform(xs, x -> 'a') FROM t"
+    assert to_spark_sql(sql) == sql
+    sql = "SELECT filter(xs, e -> 1) AS f FROM t"
+    assert to_spark_sql(sql) == sql
+    # real JSON chains still rewrite, including int steps in chains
+    assert to_spark_sql("SELECT j -> 'xs' -> 0 ->> 'id' FROM t") == (
+        "SELECT get_json_object(j, '$.xs[0].id') FROM t"
+    )
+    # single-step ->> int stays a JSON extraction
+    assert to_spark_sql("SELECT j ->> 0 FROM t") == (
+        "SELECT get_json_object(j, '$[0]') FROM t"
+    )
+    # semantics end-to-end: the transform survives and runs
+    row = spark.sql(
+        to_spark_sql("SELECT transform(array(5, 6), x -> 0) AS out")
+    ).first()
+    assert row["out"] == [0, 0]
 
 
 def test_shim_using_sample_and_similar_to():
