@@ -300,24 +300,79 @@ WHERE l_shipdate >= o_orderdate
 
 
 # --------------------------------------------------------------------------
-# Sampling and sketches — engine-specific randomness / estimation, so these
-# run the weaker rows-only check (no oracle; SURVEY.md §2.B "Sampling").
+# Sampling and sketches (SURVEY.md §2.B "Sampling"/"Approximate") — both
+# fully oracle-checked (VERDICT r2 next#5): sampling is md5-bucketed (no
+# engine RNG → bit-identical in any engine), and the HLL sketch is checked
+# as a BOUND against the exact distinct count computed on each engine, so
+# the hash compares deterministic booleans + exact counts, not estimates.
 # --------------------------------------------------------------------------
-@register("sample_fraction", oracle=None)
+@register(
+    "sample_fraction",
+    oracle="""
+SELECT count(*) AS n_sampled,
+       round(sum(o_totalprice), 2) AS sampled_price
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7)) AS BIGINT)
+      % 100 < 10
+""",
+)
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% sample via md5-bucketing (operators/pipeline.py
+    hash_bucket) — content-stable across runs, engines, and cluster
+    sizes; a zero-shuffle filter at any scale."""
+    from gigapi_querier_spark.operators.pipeline import hash_bucket
+
     t = load_tables(spark, sf_dir, ("orders",))
     return (
         t["orders"]
-        .sample(fraction=0.1, seed=42)
-        .agg(F.count("*").alias("n_sampled"))
+        .where(hash_bucket(F.col("o_orderkey")) < 10)
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_price"),
+        )
     )
 
 
-@register("approx_distinct_sketch", oracle=None)
+@register(
+    "approx_distinct_sketch",
+    oracle="""
+SELECT CAST(abs(approx_count_distinct(l_partkey)
+               - count(DISTINCT l_partkey)) <= 0.10 * count(DISTINCT l_partkey)
+            AS BOOLEAN) AS parts_within_10pct,
+       CAST(abs(approx_count_distinct(l_orderkey)
+               - count(DISTINCT l_orderkey)) <= 0.10 * count(DISTINCT l_orderkey)
+            AS BOOLEAN) AS orders_within_10pct,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_orderkey) AS exact_orders
+FROM lineitem
+""",
+)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch with an assertable oracle: each engine's estimate must
+    sit within 10% of the exact distinct count it computes itself (Spark
+    default rsd is 5%), so both sides hash identical booleans + exact
+    counts while the sketch path is still exercised."""
     t = load_tables(spark, sf_dir, ("lineitem",))
-    return t["lineitem"].agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_median_price"),
+    li = t["lineitem"]
+    return li.agg(
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey")
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.10 * F.countDistinct("l_partkey")
+        )
+        .cast("boolean")
+        .alias("parts_within_10pct"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey")
+                - F.countDistinct("l_orderkey")
+            )
+            <= 0.10 * F.countDistinct("l_orderkey")
+        )
+        .cast("boolean")
+        .alias("orders_within_10pct"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
