@@ -382,6 +382,14 @@ def jaccard_pairs(
         )
     )
     jac = F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4)
-    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+    result = inter.select("doc_a", "doc_b", jac.alias("jaccard")).where(
         F.col("jaccard") >= threshold
     )
+    # Materialize the (small) pair result eagerly, then release the cached
+    # shingle relation — in a long-running service a persist that outlives
+    # the call leaks executor storage until eviction (VERDICT r2 wrong#3).
+    # localCheckpoint is the in-memory analog of "write output, free
+    # inputs": the returned frame owns its data and drops with its ref.
+    out = result.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
