@@ -86,26 +86,37 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from runtime sizes. Final 5-group aggregation is one tiny exchange.
 # --------------------------------------------------------------------------
 Q5_BODY = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM region
-JOIN nation   ON n_regionkey = r_regionkey
-JOIN customer ON c_nationkey = n_nationkey
-JOIN orders   ON o_custkey = c_custkey
+WITH co AS (
+  SELECT n_nationkey, n_name, o_orderkey
+  FROM region
+  JOIN nation   ON n_regionkey = r_regionkey
+  JOIN customer ON c_nationkey = n_nationkey
+  JOIN orders   ON o_custkey = c_custkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+)
+SELECT /*+ BROADCAST(co) */
+       n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM co
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = n_nationkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
 GROUP BY n_name
 """
 
 
 @register("q5_local_supplier_volume", oracle=Q5_BODY)
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Hint-free on purpose (see q3): region/nation stay broadcast at any
-    # scale via size estimates; customer/supplier/orders flip to shuffle
-    # joins when they outgrow the threshold, with AQE re-planning from
-    # runtime sizes. Declarative > hardcoded join strategy.
+    # region/nation/supplier broadcast from size estimates; the one
+    # statically-unknowable side — the (region⋈nation⋈customer⋈orders)
+    # join OUTPUT, a date-filtered key list ~1% of lineitem — is named
+    # as a CTE and hinted broadcast, declaring what AQE would discover
+    # at runtime (joins over an intermediate have no stats, so without
+    # the hint a static plan exchanges+sorts the 100%-side lineitem for
+    # a sort-merge join). DuckDB parses /*+ ... */ as a plain comment,
+    # so ONE text serves both engines; at scale the broadcast degrades
+    # gracefully — if co outgrows the executor budget, drop the hint
+    # and AQE re-plans from runtime sizes.
     return _sql(
         spark,
         sf_dir,

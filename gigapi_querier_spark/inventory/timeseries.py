@@ -134,18 +134,17 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """,
 )
 def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gigapi_querier_spark.operators.asof import asof_self_join
+
     t = load_tables(spark, sf_dir, ("events",))
-    ev = t["events"]
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
-    joined = asof_join(
-        purchases,
-        clicks,
+    ev = t["events"].select("event_id", "user_id", "ts", "event_type", "value")
+    # both sides are subsets of events → single-scan self as-of
+    joined = asof_self_join(
+        ev,
         on=["user_id"],
-        left_time="ts",
-        right_time="ts",
+        time_col="ts",
+        left_pred=F.col("event_type") == "purchase",
+        right_pred=F.col("event_type") == "click",
         value_cols=["value"],
     )
     return joined.select(

@@ -93,3 +93,57 @@ def asof_join(
         carry("__vt").alias(f"{right_time}{suffix}"),
     )
     return out.where(F.col("__side") == F.lit(left_side)).drop("__side")
+
+
+def asof_self_join(
+    df: DataFrame,
+    on: Sequence[str],
+    time_col: str,
+    left_pred: Column,
+    right_pred: Column,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+    allow_exact_match: bool = True,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join where BOTH sides are row subsets of the SAME relation
+    (the common telemetry shape: purchases vs clicks of one events
+    table). ``asof_join`` on two filters of one table plans two scans +
+    a union; this tags roles in a single pass — one scan, one shuffle.
+
+    ``left_pred``/``right_pred`` must be disjoint (a row acts as exactly
+    one side). Output: rows matching ``left_pred`` with all original
+    columns plus ``{v}{suffix}`` / ``{time_col}{suffix}`` carried from
+    the nearest right row per the same semantics as :func:`asof_join`.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction == "backward":
+        right_side = 0 if allow_exact_match else 1
+    else:
+        right_side = 1 if allow_exact_match else 0
+    left_side = 1 - right_side
+
+    tagged = df.where(left_pred | right_pred).withColumn(
+        "__side",
+        F.when(right_pred, F.lit(right_side)).otherwise(F.lit(left_side)),
+    )
+    base = Window.partitionBy(*on).orderBy(F.col(time_col), F.col("__side"))
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    def carry(c: str) -> Column:
+        src = F.when(F.col("__side") == F.lit(right_side), F.col(c))
+        if direction == "backward":
+            return F.last(src, ignorenulls=True).over(w)
+        return F.first(src, ignorenulls=True).over(w)
+
+    out = tagged.select(
+        *df.columns,
+        F.col("__side"),
+        *[carry(v).alias(f"{v}{suffix}") for v in value_cols],
+        carry(time_col).alias(f"{time_col}{suffix}"),
+    )
+    return out.where(F.col("__side") == F.lit(left_side)).drop("__side")
