@@ -55,14 +55,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + LIMIT plans as TakeOrderedAndProject (no global sort).
 # --------------------------------------------------------------------------
 Q3_BODY = """
-SELECT o_orderkey, o_orderdate, o_orderpriority,
+WITH co AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+)
+SELECT /*+ BROADCAST(co) */
+       o_orderkey, o_orderdate, o_orderpriority,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM customer
-JOIN orders   ON c_custkey = o_custkey
+FROM co
 JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey
 LIMIT 10
@@ -71,11 +76,13 @@ LIMIT 10
 
 @register("q3_shipping_priority", oracle=Q3_BODY)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # No join hints: TPC-H "dimensions" (customer, orders) grow with SF,
-    # so a hardcoded BROADCAST is wrong at 100 TB. Size-based planning +
-    # AQE picks broadcast exactly when the (filtered) side fits the
-    # threshold and sort-merge otherwise — measured as fast as the best
-    # hand hint locally.
+    # Like Q5: the statically-unknowable side — the (customer⋈orders)
+    # join output, a segment+date-filtered key list far smaller than
+    # lineitem — is named as a CTE and hinted broadcast (a join over an
+    # intermediate has no stats, so a static plan falls back to
+    # exchanging+sorting lineitem for a sort-merge join). DuckDB parses
+    # the hint as a comment; AQE would reach the same plan at runtime
+    # from observed sizes.
     return _sql(spark, sf_dir, Q3_BODY, "customer", "orders", "lineitem")
 
 

@@ -64,9 +64,11 @@ def lit_vector(values: Sequence[float]) -> Column:
 
 
 #: below this input size the JVM expression path beats the Arrow round
-#: trip: a Python-worker batch costs ~150 ms fixed, while zip_with/
-#: aggregate run ~1-2 µs/row inside codegen — crossover ≈ 1M rows.
-_VECTORIZE_BYTES = 64 * 1024 * 1024
+#: trip. Spark's higher-order array functions evaluate INTERPRETED (no
+#: whole-stage codegen): a 64-dim zip_with+aggregate fold costs ~20 µs/
+#: row, vs ~120-150 ms FIXED for a Python-worker round trip whose BLAS
+#: body is ~0.1 µs/row — crossover ≈ 4k vectors (~2 MB of float32[64]).
+_VECTORIZE_BYTES = 2 * 1024 * 1024
 
 
 def _input_bytes(df: DataFrame) -> int | None:
@@ -303,6 +305,34 @@ def ivf_assign_expr(
     return _nearest_cid_udf(F.col(vec_col))
 
 
+def ivf_assign_expr_jvm(
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    vec_col: str = "embedding",
+) -> Column:
+    """Nearest-centroid id as pure JVM expressions: per-centroid squared-L2
+    via ``zip_with``/``aggregate`` and an ``array_min`` over (dist, cid)
+    structs (lexicographic min ⇒ nearest centroid, lowest cid on ties —
+    the same tie-break as the vectorized kernel). No Python worker round
+    trip; the small-corpus twin of :func:`ivf_assign_expr`."""
+    v = F.col(vec_col).cast("array<double>")
+
+    def l2sq(c: Sequence[float]) -> Column:
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(v, clit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(l2sq(c).alias("d"), F.lit(int(cid)).cast("int").alias("cid"))
+            for cid, c in sorted(centroids, key=lambda t: int(t[0]))
+        ]
+    )
+    return F.array_min(pairs).getField("cid")
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: Sequence[tuple[int, Sequence[float]]],
@@ -340,7 +370,11 @@ def ivf_topk(
     # so probe membership is an inline filter — ONE scan, zero joins/
     # shuffles before the final TakeOrderedAndProject. (Round 1 used a
     # left-semi join against ivf_assign(df): two scans + a shuffle for a
-    # value derivable in place — 16x the oracle's latency.)
+    # value derivable in place — 16x the oracle's latency.) The Arrow
+    # kernel stays even for small inputs: K centroids need K per-row L2
+    # folds, and Spark's higher-order array functions evaluate
+    # INTERPRETED (no codegen) — measured 2x slower than the Python
+    # round trip already at K=8, unlike the 2-fold cosine case.
     candidates = df.where(
         ivf_assign_expr(centroids, vec_col=vec_col).isin([int(p) for p in probes])
     )
