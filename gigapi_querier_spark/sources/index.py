@@ -50,17 +50,22 @@ class RedisIndex(TableIndex):
     plus sets ``{prefix}:databases`` and ``{prefix}:{db}:tables``.
     """
 
-    def __init__(self, url: str, prefix: str = "gigapi"):
-        try:
-            import redis  # noqa: F401
-        except ImportError as e:  # pragma: no cover - environment-dependent
-            raise RuntimeError(
-                "redis-py is not installed; use the JSON metadata index or "
-                "install redis to enable the Redis backend"
-            ) from e
-        import redis
+    def __init__(self, url: str = "", prefix: str = "gigapi", client=None):
+        """``client`` injects any object with ``smembers``/``hgetall``
+        (tests use an in-memory fake; production passes nothing and the
+        redis-py client is built from ``url``)."""
+        if client is not None:
+            self._r = client
+        else:
+            try:
+                import redis
+            except ImportError as e:  # pragma: no cover - environment-dependent
+                raise RuntimeError(
+                    "redis-py is not installed; use the JSON metadata index or "
+                    "install redis to enable the Redis backend"
+                ) from e
 
-        self._r = redis.Redis.from_url(url, decode_responses=True)
+            self._r = redis.Redis.from_url(url, decode_responses=True)
         self._prefix = prefix
 
     def databases(self) -> list[str]:
@@ -96,3 +101,16 @@ def make_index(kind: str, root_or_url: str) -> TableIndex:
     if kind == "redis":
         return RedisIndex(root_or_url)
     raise ValueError(f"unknown metadata index type: {kind!r}")
+
+
+def index_from_env(root: str) -> TableIndex:
+    """Resolve the metadata backend the way the reference does
+    (queryClient.go:408-433): ``GIGAPI_METADATA_TYPE`` selects json
+    (default, filesystem metadata.json trees under ``root``) or redis
+    (``GIGAPI_METADATA_URL`` = redis:// URL)."""
+    import os
+
+    kind = os.environ.get("GIGAPI_METADATA_TYPE", "json").lower()
+    if kind == "redis":
+        return make_index("redis", os.environ.get("GIGAPI_METADATA_URL", ""))
+    return make_index("json", root)
