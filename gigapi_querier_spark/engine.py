@@ -46,6 +46,21 @@ class QueryError(Exception):
     querier/server.go:206-212)."""
 
 
+def _transpile_duckdb(sql: str) -> str | None:
+    """duckdb → spark via sqlglot, or None when sqlglot is unavailable
+    or can't parse. Import-gated: sqlglot is not bundled in every
+    environment; the regex shims cover the common paste-ins without it."""
+    try:
+        import sqlglot
+    except ImportError:
+        return None
+    try:
+        out = sqlglot.transpile(sql, read="duckdb", write="spark")
+    except Exception:
+        return None
+    return out[0] if out else None
+
+
 @dataclass
 class QueryStats:
     """Per-query timing mirroring the reference's instrumentation
@@ -271,8 +286,20 @@ class QueryEngine:
 
         try:
             df = self.spark.sql(to_spark_sql(rewrite_qualify(sql)))
-        except Exception as e:  # surface as a 400-able error
-            raise QueryError(str(e)) from e
+        except Exception as e:
+            # Last resort for DuckDB-isms beyond the regex shims
+            # (struct_pack, QUALIFY in a subquery, named lambdas, …): a
+            # real duckdb→spark transpile when sqlglot is installed; the
+            # original error surfaces unchanged when it isn't or when the
+            # transpile also fails (reference passthrough accepts the
+            # full dialect, queryClient.go:778-815).
+            transpiled = _transpile_duckdb(sql)
+            if transpiled is None:
+                raise QueryError(str(e)) from e
+            try:
+                df = self.spark.sql(transpiled)
+            except Exception:
+                raise QueryError(str(e)) from e
         if QUALIFY_COL in df.columns:
             df = df.drop(QUALIFY_COL)
         return df

@@ -209,6 +209,37 @@ def test_dialect_lambda_int_body(engine):
     assert rows == [{"out": [0, 0]}]
 
 
+def test_dialect_sqlglot_fallback_wiring(engine, monkeypatch):
+    """When the regex shims can't fix a DuckDB-ism, the engine consults
+    sqlglot (import-gated; faked here since it isn't bundled) and runs
+    the transpiled SQL; without it the original error still surfaces."""
+    import sys
+    import types
+
+    from gigapi_querier_spark.engine import QueryError
+
+    bad = "SELECT struct_pack(a := 1, b := 2) AS s"
+    with pytest.raises(QueryError):
+        engine.query_rows(bad)
+
+    fake = types.ModuleType("sqlglot")
+
+    def transpile(sql, read=None, write=None):
+        assert read == "duckdb" and write == "spark"
+        if "struct_pack" in sql:
+            return ["SELECT named_struct('a', 1, 'b', 2) AS s"]
+        raise ValueError("parse error")
+
+    fake.transpile = transpile
+    monkeypatch.setitem(sys.modules, "sqlglot", fake)
+    rows = engine.query_rows(bad)
+    assert rows == [{"s": {"a": 1, "b": 2}}]
+
+    # transpiler also failing -> original QueryError, not a crash
+    with pytest.raises(QueryError):
+        engine.query_rows("SELECT definitely not sql !!!")
+
+
 def test_dialect_using_sample_rows(engine):
     rows = engine.query_rows(
         "SELECT * FROM weather USING SAMPLE 5 ROWS",
