@@ -5,13 +5,15 @@ column with a struct of metadata beside it; decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so the
 payload never crosses the Python boundary row-at-a-time.
 
-Codecs: uncompressed formats decode for REAL in pure numpy — BMP
-(24-bit BI_RGB, incl. nearest-neighbor resize + re-encode) and WAV
-(PCM-16) need no external library. Compressed formats (JPEG/PNG/MP3/
-video) require PIL/libsndfile/ffmpeg, which are NOT in this container:
-those payloads raise ``NotImplementedError`` unless ``fake_decode=True``
-substitutes a deterministic md5-derived stand-in. The Spark-side plumbing
-(schema, batching, partition behavior) is identical on every path.
+Codecs implemented for REAL with stdlib + numpy, no external library:
+BMP (24-bit BI_RGB), WAV (PCM-16), and compressed PNG (zlib inflate +
+all five row filters, 8-bit gray/RGB/RGBA non-interlaced; encode side
+emits filter-0 RGB) — each with nearest-neighbor resize + re-encode.
+Formats that genuinely need PIL/libsndfile/ffmpeg (JPEG/MP3/video,
+palette/interlaced PNG), absent in this container, raise
+``NotImplementedError`` unless ``fake_decode=True`` substitutes a
+deterministic md5-derived stand-in. The Spark-side plumbing (schema,
+batching, partition behavior) is identical on every path.
 
 Scale: mapInPandas streams Arrow batches per partition — constant memory,
 no collect, no shuffle; partition count alone controls parallelism.
@@ -132,6 +134,131 @@ def resize_rgb(img: "np.ndarray", width: int, height: int) -> "np.ndarray":
     return img[ys][:, xs]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(b: bytes) -> "np.ndarray | None":
+    """Decode a non-interlaced 8-bit grayscale/RGB/RGBA PNG to an
+    (h, w, 3) uint8 RGB array using only stdlib zlib + numpy (no PIL).
+
+    Full spec coverage for the common cases: all five row filters
+    (None/Sub/Up/Average/Paeth), multi-IDAT streams, alpha dropped on
+    RGBA, grayscale broadcast to RGB. Returns None for palette/16-bit/
+    interlaced images or non-PNG payloads.
+    """
+    import zlib
+
+    if len(b) < 8 + 25 or b[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    w = h = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            if len(body) < 13:
+                return None
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = body[8:13]
+            if bit_depth != 8 or interlace != 0:
+                return None
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type, 0)
+            if channels == 0:  # palette (3) and exotic types unsupported
+                return None
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # length + type + crc
+    if not w or not h or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64)  # headroom for filter arithmetic
+    out = np.zeros((h, stride), np.int64)
+    bpp = channels
+    for y in range(h):
+        f = filters[y]
+        cur = data[y].copy()
+        prior = out[y - 1] if y else np.zeros(stride, np.int64)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub — sequential in x, vectorized per pixel-column
+            for x in range(stride):
+                cur[x] = (cur[x] + (cur[x - bpp] if x >= bpp else 0)) & 0xFF
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (cur + prior) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
+            out[y] = cur
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                ul = prior[x - bpp] if x >= bpp else 0
+                p = left + prior[x] - ul
+                pa, pb, pc = abs(p - left), abs(p - prior[x]), abs(p - ul)
+                if pa <= pb and pa <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = prior[x]
+                else:
+                    pred = ul
+                cur[x] = (cur[x] + pred) & 0xFF
+            out[y] = cur
+        else:
+            return None
+    img = out.astype(np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    if channels == 2:  # gray+alpha → drop alpha, broadcast
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGB / RGBA→RGB
+
+
+def encode_png(img: "np.ndarray") -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a non-interlaced 8-bit RGB
+    PNG (filter 0 rows, one zlib IDAT) — stdlib-only."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    raw = b"".join(
+        b"\x00" + np.ascontiguousarray(img[y]).tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_wav(b: bytes) -> "tuple[int, np.ndarray] | None":
     """Decode a PCM-16 RIFF/WAVE payload → (sample_rate, (n, channels)
     int16 array); None when the payload isn't PCM-16 WAV."""
@@ -164,7 +291,9 @@ def _real_decode(payload: bytes) -> tuple[int, int, str] | None:
     """(width, height, feature-hash) via the pure-numpy codecs; None when
     the format needs an external library. For audio, width = sample rate
     and height = frame count (documented convention)."""
-    img = decode_bmp(payload)
+    img = decode_png(payload)
+    if img is None:
+        img = decode_bmp(payload)
     if img is not None:
         return (
             img.shape[1],
@@ -205,7 +334,7 @@ def decode_features(df: DataFrame, fake_decode: bool = False) -> DataFrame:
                     if not fake_decode:
                         raise NotImplementedError(
                             "compressed-format codecs not available in this "
-                            "environment (BMP/WAV decode natively); pass "
+                            "environment (PNG/BMP/WAV decode natively); pass "
                             "fake_decode=True for the deterministic stand-in"
                         )
                     d = _fake_decode(raw)
@@ -252,6 +381,10 @@ def resize(df: DataFrame, width: int, height: int, fake_decode: bool = False) ->
             resized = []
             for p in pdf["payload"]:
                 raw = bytes(p)
+                img = decode_png(raw)
+                if img is not None:
+                    resized.append(encode_png(resize_rgb(img, width, height)))
+                    continue
                 img = decode_bmp(raw)
                 if img is not None:
                     resized.append(encode_bmp(resize_rgb(img, width, height)))
@@ -261,7 +394,7 @@ def resize(df: DataFrame, width: int, height: int, fake_decode: bool = False) ->
                     )
                 else:
                     raise NotImplementedError(
-                        "compressed-format codecs not available (BMP resizes "
+                        "codec not available (PNG/BMP resize "
                         "natively); pass fake_decode=True"
                     )
             yield pd.DataFrame(

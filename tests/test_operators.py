@@ -288,6 +288,122 @@ def test_multimodal_real_wav_decode(spark):
     assert feats[0]["width"] == 8000 and feats[0]["height"] == 16
 
 
+def _filter_png_rows(img, channels, filter_types):
+    """Forward-apply PNG row filters (the encoder side of what
+    decode_png must invert) — reference math straight from the spec."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * channels).astype(np.int64)
+    out = []
+    for y in range(h):
+        f = filter_types[y % len(filter_types)]
+        cur = flat[y]
+        prior = flat[y - 1] if y else np.zeros_like(cur)
+        filt = np.zeros_like(cur)
+        for x in range(len(cur)):
+            left = cur[x - channels] if x >= channels else 0
+            up = prior[x]
+            ul = prior[x - channels] if x >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            filt[x] = (cur[x] - pred) & 0xFF
+        out.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def _raw_png(w, h, color_type, channels, raw_rows):
+    import struct
+    import zlib
+
+    from gigapi_querier_spark.operators.multimodal import _PNG_SIG
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    comp = zlib.compress(raw_rows)
+    # split IDAT in two to cover multi-IDAT reassembly
+    mid = len(comp) // 2
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp[:mid])
+        + chunk(b"IDAT", comp[mid:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_all_filters(spark):
+    """decode_png is a REAL compressed codec: zlib inflate + the five
+    row filters. Round-trips the filter-0 encoder and recovers images
+    whose rows were filtered with Sub/Up/Average/Paeth."""
+    import numpy as np
+
+    from gigapi_querier_spark.operators.multimodal import decode_png, encode_png
+
+    rng = (np.arange(7 * 5 * 3, dtype=np.int64) * 37 % 251).astype(np.uint8)
+    img = rng.reshape(5, 7, 3)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+    # each filter type exercised, multi-IDAT covered by _raw_png
+    raw = _filter_png_rows(img, 3, [0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(_raw_png(7, 5, 2, 3, raw)), img)
+
+    # RGBA: alpha dropped
+    rgba = np.dstack([img, np.full((5, 7), 200, np.uint8)])
+    raw = _filter_png_rows(rgba, 4, [4, 3, 2, 1, 0])
+    assert np.array_equal(decode_png(_raw_png(7, 5, 6, 4, raw)), img)
+
+    # grayscale: broadcast to RGB
+    gray = img[:, :, 0]
+    raw = _filter_png_rows(gray[..., None], 1, [1, 4])
+    got = decode_png(_raw_png(7, 5, 0, 1, raw))
+    assert np.array_equal(got, np.repeat(gray[..., None], 3, axis=2))
+
+    # unsupported shapes stay None (palette, truncated, not-a-png)
+    assert decode_png(b"\x89PNG\r\n\x1a\nnope") is None
+    assert decode_png(b"JFIF....") is None
+
+
+def test_multimodal_real_png_through_spark(spark):
+    """PNG payloads flow through decode_features and resize without
+    fake_decode — decode, nearest-neighbor resize, PNG re-encode."""
+    import numpy as np
+
+    from gigapi_querier_spark.operators import multimodal as M
+    from gigapi_querier_spark.operators.multimodal import decode_png, encode_png
+
+    img = (np.arange(6 * 4 * 3, dtype=np.int64) * 11 % 256).astype(np.uint8).reshape(4, 6, 3)
+    payload = encode_png(img)
+    df = spark.createDataFrame([(9, payload)], "asset_id long, payload binary")
+    assets = M.to_assets(df, "asset_id", "payload", "image")
+    feats = M.decode_features(assets).collect()
+    assert feats[0]["width"] == 6 and feats[0]["height"] == 4
+
+    resized = M.resize(assets, 3, 2).collect()
+    out = decode_png(bytes(resized[0]["payload"]))
+    assert out.shape == (2, 3, 3)
+    # nearest-neighbor semantics: every output pixel exists in the input
+    flat_in = {tuple(px) for px in img.reshape(-1, 3)}
+    assert all(tuple(px) in flat_in for px in out.reshape(-1, 3))
+
+
 def test_multimodal_compressed_still_raises(spark):
     from gigapi_querier_spark.operators import multimodal as M
 
