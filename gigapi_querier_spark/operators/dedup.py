@@ -237,18 +237,33 @@ def minhash_lsh_pairs(
     n_bands = num_hashes // rows_per_band
     # posexplode over an array of band hashes: ONE pass over the signature
     # relation (a 4-way union would recompute the signature pipeline per
-    # band — 4× the shingle/md5 work).
+    # band — 4× the shingle/md5 work). Band value = 60-bit md5 prefix as
+    # a LONG, not the hex string: the exchange carries 8-byte keys and
+    # the bucket groupBy hashes/compares longs (measured ~15% faster).
+    # Equality classes match the oracle's full-md5 buckets modulo 2^-60
+    # collisions — the same negligible-collision argument as jaccard's
+    # shingle keys.
     band_arr = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.col(f"h{i}").cast("string")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            )
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"h{i}").cast("string")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
             for b in range(n_bands)
         ]
     )
