@@ -593,9 +593,22 @@ def _split_top_args(argstr: str) -> list[str]:
 #: loudly instead of silently returning wrong rows (ADVICE r2).
 _ARG_XFORM = re.compile(
     r"\b(str_split|string_split|string_to_array|string_split_regex"
-    r"|str_split_regex|list_slice|list_position|list_indexof)\s*\(",
+    r"|str_split_regex|list_slice|list_position|list_indexof"
+    r"|struct_pack|list_aggregate|list_aggr)\s*\(",
     re.IGNORECASE,
 )
+
+#: struct_pack named argument: name := expr
+_NAMED_ARG = re.compile(r"^([A-Za-z_]\w*)\s*:=\s*(.+)$", re.DOTALL)
+
+#: list_aggregate's function-name argument → Spark array equivalents.
+_LIST_AGGR_FNS = {
+    "'sum'": "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+    "'min'": "array_min({0})",
+    "'max'": "array_max({0})",
+    "'count'": "size(filter({0}, x -> x IS NOT NULL))",
+    "'avg'": "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size({0})",
+}
 
 _PLAIN_LIT = re.compile(r"^'([^']*)'$")
 
@@ -645,6 +658,18 @@ def _rewrite_arg_transforms(sql: str) -> str:
             repl = f"slice({args[0]}, {b}, ({e}) - ({b}) + 1)"
         elif fn in ("list_position", "list_indexof") and len(args) == 2:
             repl = f"nullif(array_position({args[0]}, {args[1]}), 0)"
+        elif fn == "struct_pack":
+            # struct_pack(a := 1, b := x) → named_struct('a', 1, 'b', x)
+            named = [_NAMED_ARG.match(a) for a in args]
+            if all(named):
+                inner = ", ".join(
+                    f"'{m.group(1)}', {m.group(2).strip()}" for m in named
+                )
+                repl = f"named_struct({inner})"
+        elif fn in ("list_aggregate", "list_aggr") and len(args) == 2:
+            template = _LIST_AGGR_FNS.get(args[1].lower())
+            if template:
+                repl = template.format(args[0])
         if repl is None:
             out.append(sql[pos : end])
         else:

@@ -307,6 +307,29 @@ def test_shim_lambda_arrows_not_json(spark):
     assert row["out"] == [0, 0]
 
 
+def test_shim_struct_pack_and_list_aggregate(spark):
+    assert to_spark_sql("SELECT struct_pack(a := 1, b := x) AS s FROM t") == (
+        "SELECT named_struct('a', 1, 'b', x) AS s FROM t"
+    )
+    # nested calls inside values survive the balanced-paren split
+    out = to_spark_sql("SELECT struct_pack(a := f(x, y), b := 'v')")
+    assert out == "SELECT named_struct('a', f(x, y), 'b', 'v')"
+    assert to_spark_sql("SELECT list_aggregate(xs, 'min')") == (
+        "SELECT array_min(xs)"
+    )
+    assert to_spark_sql("SELECT list_aggr(xs, 'sum')") == (
+        "SELECT aggregate(xs, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    # unknown aggregate name: left untouched → loud failure, not wrong rows
+    sql = "SELECT list_aggregate(xs, 'median')"
+    assert to_spark_sql(sql) == sql
+    # end-to-end through Spark
+    row = spark.sql(
+        to_spark_sql("SELECT struct_pack(a := 1, b := 2) AS s")
+    ).first()
+    assert row["s"].asDict() == {"a": 1, "b": 2}
+
+
 def test_shim_using_sample_and_similar_to():
     assert to_spark_sql("SELECT * FROM t USING SAMPLE 10%") == (
         "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
