@@ -115,8 +115,11 @@ _PRIORITY: tuple[str, ...] = (
     #    their round-2 rows are stale --
     "sample_fraction",
     "approx_distinct_sketch",
+    # -- NEW in round 3 (no CORRECTNESS row yet) --
+    "contamination_ngram_overlap",
+    "text_top_ngrams",
     # -- flagships verified in BOTH prior rounds; first in line if the
-    #    budget exceeds 50 --
+    #    budget exceeds 54 --
     "q1_pricing_summary",
     "q3_shipping_priority",
 )

@@ -122,3 +122,51 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count("*").alias("n"), F.sum("n_chars").alias("chars")
     )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+WITH tr_sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                      i -> array_to_string(w[i:i+2], ' '))) AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE {_BUCKET} >= 5) x
+),
+tr AS (
+  SELECT doc_id, CAST(len(shs) AS BIGINT) AS n,
+         ('0x' || substring(md5(unnest(shs)), 1, 15))::BIGINT AS sh
+  FROM tr_sets
+),
+b_sets AS (
+  SELECT list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                        i -> array_to_string(w[i:i+2], ' ')) AS shs
+  FROM (SELECT string_split(text, ' ') AS w FROM documents
+        WHERE {_BUCKET} < 5) x
+),
+bset AS (
+  SELECT DISTINCT ('0x' || substring(md5(unnest(shs)), 1, 15))::BIGINT AS sh
+  FROM b_sets
+)
+SELECT tr.doc_id,
+       max(tr.n)                                                AS n_shingles,
+       CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                                AS n_hit,
+       round(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / max(tr.n), 4)                                    AS overlap
+FROM tr LEFT JOIN bset b ON tr.sh = b.sh
+GROUP BY tr.doc_id
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-data hygiene: per-doc fraction of distinct 3-gram
+    shingles leaked from a held-out benchmark slice (the md5 bucket
+    carves a deterministic 5% 'benchmark'; both engines reproduce the
+    split bit-for-bit). Scale: the benchmark collapses to a distinct
+    hash set that broadcasts; the train side joins on 8-byte hashes."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    b = P.hash_bucket(F.col("doc_id"))
+    return P.contamination_overlap(
+        t["documents"].where(b >= 5), t["documents"].where(b < 5)
+    )

@@ -174,3 +174,22 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.md5("clean_text").alias("clean_fp"), F.col("n_redactions")
     )
+
+
+@register(
+    "text_top_ngrams",
+    oracle="""
+WITH g AS (
+  SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                               i -> array_to_string(w[i:i+1], ' '))) AS gram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents) x
+)
+SELECT gram, count(*) AS n
+FROM g GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT 20
+""",
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return T.top_ngrams(t["documents"], width=2, k=20)

@@ -166,6 +166,64 @@ def pack_sequences(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination screen: for every training document, the
+    fraction of its distinct ``width``-gram shingles that appear ANYWHERE
+    in the benchmark corpus — the standard pretraining-data hygiene check
+    (flag/drop docs that leak eval content).
+
+    Shape: the benchmark side collapses to a DISTINCT 60-bit shingle-hash
+    set (tiny relative to the corpus — benchmarks are small); the train
+    side explodes to (doc, hash) and LEFT-joins that set, so Catalyst
+    broadcasts the benchmark hashes when they fit and shuffle-joins on
+    the 8-byte hash otherwise. One aggregation by doc recovers
+    (n_shingles, n_hit). Zero-overlap docs survive (left join), so the
+    output is a complete per-doc report, not just offenders.
+    """
+    from gigapi_querier_spark.operators.dedup import shingle_relation, spread
+
+    def hashed(df: DataFrame) -> DataFrame:
+        sets = shingle_relation(
+            spread(df), id_col, text_col, width=width, distinct=True
+        )
+        return sets.select(
+            F.col(id_col),
+            F.size("shs").cast("long").alias("n"),
+            F.explode("shs").alias("sh_str"),
+        ).select(
+            F.col(id_col),
+            F.col("n"),
+            F.conv(F.substring(F.md5(F.col("sh_str")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sh"),
+        )
+
+    bench_set = hashed(bench).select("sh").distinct().withColumn(
+        "hit", F.lit(1)
+    )
+    tr = hashed(train)
+    joined = tr.join(bench_set, "sh", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.max("n").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 4).alias("overlap"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     key_col: str,

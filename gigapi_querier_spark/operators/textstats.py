@@ -148,3 +148,32 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     placeholders = "|".join(t for _, t in PII_PATTERNS)
     n_red = F.size(F.regexp_extract_all(clean, F.lit(placeholders), 0)).cast("long")
     return df.withColumn("clean_text", clean).withColumn("n_redactions", n_red)
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level most-frequent word n-grams — the vocabulary/phrase
+    census step of corpus analysis (stopword mining, boilerplate
+    detection, tokenizer sizing).
+
+    Scale: explode → hash-aggregate is one shuffle with map-side partial
+    aggregation (gram cardinality, not corpus size, crosses the wire);
+    the deterministic (count desc, gram asc) top-k plans as
+    TakeOrderedAndProject — k rows per partition reach the driver.
+    """
+    from gigapi_querier_spark.operators.dedup import shingle_relation, spread
+
+    grams = shingle_relation(
+        spread(df), id_col, text_col, width=width, distinct=False
+    ).select(F.explode("shs").alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("gram"))
+        .limit(k)
+    )

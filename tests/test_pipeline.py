@@ -56,6 +56,41 @@ def test_no_cached_plans_leak_after_operators(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_contamination_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dogs"),  # fully leaked
+            (2, "completely different words entirely here now"),  # disjoint
+            (3, "the quick brown fox sat calmly today"),  # partial
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dogs")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hit"], r["overlap"])
+        for r in P.contamination_overlap(train, bench).collect()
+    }
+    assert got[1] == (5, 5, 1.0)
+    assert got[2] == (4, 0, 0.0)  # 6 words -> 4 trigram shingles
+    # doc 3 shares 'the quick brown' and 'quick brown fox' only
+    assert got[3] == (5, 2, 0.4)
+
+
+def test_top_ngrams_deterministic_order(spark):
+    from gigapi_querier_spark.operators.textstats import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y")], "doc_id long, text string"
+    )
+    rows = [(r["gram"], r["n"]) for r in top_ngrams(df, width=2, k=3).collect()]
+    # bigrams doc1: 'a b','b a','a b','b c'; doc2: 'a b','b x','x y'
+    assert rows[0] == ("a b", 3)
+    # ties broken by gram ascending
+    assert rows[1:] == [("b a", 1), ("b c", 1)]
+
+
 def test_train_val_test_split_deterministic(spark):
     df = spark.range(1000).select(F.col("id").alias("k"))
     a = P.train_val_test_split(df, "k").groupBy("split").count().collect()
