@@ -282,10 +282,10 @@ class QueryEngine:
     def _run_sql(self, sql: str) -> DataFrame:
         if re.search(r"read_(parquet|csv|n?json)", sql, re.IGNORECASE):
             sql = self._rewrite_read_parquet(sql)
-        from gigapi_querier_spark.plans.sqlpass import QUALIFY_COL, rewrite_qualify
+        from gigapi_querier_spark.plans.sqlpass import QUALIFY_COL, rewrite_qualify_all
 
         try:
-            df = self.spark.sql(to_spark_sql(rewrite_qualify(sql)))
+            df = self.spark.sql(to_spark_sql(rewrite_qualify_all(sql)))
         except Exception as e:
             # Last resort for DuckDB-isms beyond the regex shims
             # (struct_pack, QUALIFY in a subquery, named lambdas, …): a

@@ -758,8 +758,38 @@ def rewrite_qualify(sql: str) -> str:
     only; QUALIFY on a SELECT DISTINCT changes the distinct key —
     documented limitations.
     """
-    sql = normalize(sql)
-    m = _QUALIFY_KW.search(sql)
+    return _qualify_one(normalize(sql), drop=False)
+
+
+def _depth0_qualify(sql: str) -> "re.Match | None":
+    """First `` QUALIFY `` at paren-depth 0 outside quoted literals."""
+    depth = 0
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _QUALIFY_KW.match(sql, i)
+            if m:
+                return m
+        i += 1
+    return None
+
+
+def _qualify_one(sql: str, drop: bool) -> str:
+    """Rewrite THIS query level's QUALIFY. ``drop=True`` excludes the
+    helper column in the rewritten text (``SELECT * EXCEPT``) — needed
+    when the query is a subquery whose schema must not grow; the
+    top-level form leaves it for the engine to drop post-execution
+    (pre-Spark-3.4 EXCEPT-free compatibility)."""
+    m = _depth0_qualify(sql)
     if not m:
         return sql
     body = sql[: m.start()]
@@ -779,9 +809,44 @@ def rewrite_qualify(sql: str) -> str:
     if fm is None:
         return sql
     body_with_pred = f"{body[:fm]}, ({pred.strip()}) AS {QUALIFY_COL}{body[fm:]}"
+    sel = f"* EXCEPT ({QUALIFY_COL})" if drop else "*"
     return (
-        f"SELECT * FROM ({body_with_pred}) __qw WHERE {QUALIFY_COL}{tail}"
+        f"SELECT {sel} FROM ({body_with_pred}) __qw WHERE {QUALIFY_COL}{tail}"
     )
+
+
+def _qualify_recurse(sql: str, drop: bool) -> str:
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            end = _balanced_arg(sql, i)
+            if end is not None:
+                inner = sql[i + 1 : end - 1]
+                if re.match(r"\s*SELECT\b", inner, re.IGNORECASE):
+                    out.append("(" + _qualify_recurse(inner, drop=True) + ")")
+                    i = end
+                    continue
+        out.append(ch)
+        i += 1
+    return _qualify_one("".join(out), drop=drop)
+
+
+def rewrite_qualify_all(sql: str) -> str:
+    """``rewrite_qualify`` extended into subqueries and CTE bodies: every
+    parenthesized ``( SELECT ... )`` group is rewritten recursively (its
+    helper column EXCEPT-dropped so the subquery schema is unchanged),
+    then the top level rewrites as before (engine drops the column
+    post-execution)."""
+    return _qualify_recurse(normalize(sql), drop=False)
 
 
 def strip_db_qualifier(sql: str, db_name: str, measurement: str) -> str:

@@ -218,7 +218,8 @@ def test_dialect_sqlglot_fallback_wiring(engine, monkeypatch):
 
     from gigapi_querier_spark.engine import QueryError
 
-    bad = "SELECT struct_pack(a := 1, b := 2) AS s"
+    # DuckDB's `lambda` keyword form — beyond every regex shim
+    bad = "SELECT list_transform([1, 2], lambda x: x + 1) AS xs"
     with pytest.raises(QueryError):
         engine.query_rows(bad)
 
@@ -226,14 +227,14 @@ def test_dialect_sqlglot_fallback_wiring(engine, monkeypatch):
 
     def transpile(sql, read=None, write=None):
         assert read == "duckdb" and write == "spark"
-        if "struct_pack" in sql:
-            return ["SELECT named_struct('a', 1, 'b', 2) AS s"]
+        if "lambda" in sql:
+            return ["SELECT transform(array(1, 2), x -> x + 1) AS xs"]
         raise ValueError("parse error")
 
     fake.transpile = transpile
     monkeypatch.setitem(sys.modules, "sqlglot", fake)
     rows = engine.query_rows(bad)
-    assert rows == [{"s": {"a": 1, "b": 2}}]
+    assert rows == [{"xs": [2, 3]}]
 
     # transpiler also failing -> original QueryError, not a crash
     with pytest.raises(QueryError):

@@ -134,6 +134,41 @@ def test_rewrite_qualify():
     assert rewrite_qualify("SELECT 1") == "SELECT 1"
 
 
+def test_rewrite_qualify_in_subquery_and_cte(spark):
+    from gigapi_querier_spark.plans.sqlpass import rewrite_qualify_all
+
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30), (2, 5)], "g int, v int"
+    ).createOrReplaceTempView("qt")
+    # QUALIFY inside a FROM-subquery: keep each group's max row
+    out = spark.sql(
+        rewrite_qualify_all(
+            "SELECT sum(v) AS s FROM (SELECT g, v FROM qt"
+            " QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1) t"
+        )
+    ).first()
+    assert out["s"] == 50  # 20 + 30
+    # the subquery's schema must not grow: explicit SELECT * above it
+    cols = spark.sql(
+        rewrite_qualify_all(
+            "SELECT * FROM (SELECT g, v FROM qt"
+            " QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1) t"
+        )
+    ).columns
+    assert cols == ["g", "v"]
+    # QUALIFY inside a CTE body
+    rows = spark.sql(
+        rewrite_qualify_all(
+            "WITH best AS (SELECT g, v FROM qt"
+            " QUALIFY rank() OVER (PARTITION BY g ORDER BY v DESC) = 1)"
+            " SELECT g, v FROM best ORDER BY g"
+        )
+    ).collect()
+    assert [(r["g"], r["v"]) for r in rows] == [(1, 20), (2, 30)]
+    # no QUALIFY anywhere → text unchanged (modulo normalize)
+    assert rewrite_qualify_all("SELECT 1") == "SELECT 1"
+
+
 def test_rewrite_qualify_preserves_tail():
     from gigapi_querier_spark.plans.sqlpass import rewrite_qualify
 
