@@ -112,6 +112,12 @@ class TimeRange:
         return self.start is None and self.end is None
 
 
+def _mask_literals(sql: str) -> str:
+    """Blank out single-quoted literal contents (keeps positions valid
+    for scans that must not match inside strings)."""
+    return re.sub(r"'(?:[^']|'')*'", "''", sql)
+
+
 def _has_top_level_disjunction(where_clause: str) -> bool:
     """True when the WHERE clause has a top-level ``OR`` or ``NOT``
     (outside parentheses and single-quoted literals). A time predicate
@@ -170,6 +176,12 @@ def extract_time_range(where_clause: str) -> TimeRange:
     if not where_clause:
         return tr
     if _has_top_level_disjunction(where_clause):
+        return tr
+    # A subquery inside the clause may contain its OWN `time` predicate
+    # (EXISTS/IN against another relation); regex extraction can't scope
+    # it to the right table, so pruning on it would be unsound — skip
+    # extraction entirely (safe direction: full scan, correct rows).
+    if re.search(r"\(\s*SELECT\b", _mask_literals(where_clause), re.IGNORECASE):
         return tr
 
     start_ns: int | None = None
@@ -398,6 +410,23 @@ _JSON_STEP = re.compile(r"->>?\s*(?:'([^']+)'|(\d+))")
 _USING_SAMPLE = re.compile(
     r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(%|PERCENT|ROWS)?", re.IGNORECASE
 )
+
+#: DuckDB's python-style lambda keyword: ``lambda x, y: body`` → the
+#: arrow form both engines accept. The body needs no terminator —
+#: exactly like ``->``, it extends to the enclosing paren/comma.
+_LAMBDA_KW = re.compile(
+    r"\blambda\s+([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*:", re.IGNORECASE
+)
+
+
+def _rewrite_lambda_kw(sql: str) -> str:
+    def repl(m: re.Match) -> str:
+        params = [p.strip() for p in m.group(1).split(",")]
+        if len(params) == 1:
+            return f"{params[0]} ->"
+        return "(" + ", ".join(params) + ") ->"
+
+    return _LAMBDA_KW.sub(repl, sql)
 
 _SIMILAR_TO = re.compile(r"\bSIMILAR\s+TO\s+'([^']*)'", re.IGNORECASE)
 
@@ -694,6 +723,7 @@ def to_spark_sql(sql: str) -> str:
       SQL functions (session.py).
     """
     sql = _rewrite_json_arrows(sql)
+    sql = _outside_quotes(sql, _rewrite_lambda_kw)
     sql = _rewrite_arg_transforms(sql)
     sql = _rewrite_list_aggs(sql)
     sql = _outside_quotes(

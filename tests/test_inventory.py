@@ -75,3 +75,16 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert "sum_qty" in df.columns
+
+
+def test_priority_names_all_registered():
+    """_PRIORITY drives the driver's correctness-window ordering; a typo
+    would silently drop a query out of the checked window."""
+    from gigapi_querier_spark import inventory as inv
+
+    names = set(inv.all_queries())
+    missing = [n for n in inv._PRIORITY if n not in names]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert len(set(inv._PRIORITY)) == len(inv._PRIORITY), "duplicates"
+    # the window head must match _PRIORITY order exactly
+    assert list(inv.all_queries())[: len(inv._PRIORITY)] == list(inv._PRIORITY)

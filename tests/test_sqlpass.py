@@ -214,6 +214,39 @@ def test_time_range_skipped_on_top_level_or():
     assert tr.start is not None
 
 
+def test_time_range_skipped_with_subquery():
+    # a subquery's own time predicate must not prune the OUTER scan
+    tr = extract_time_range(
+        "EXISTS (SELECT 1 FROM s WHERE time >= '2026-01-01T00:00:00')"
+    )
+    assert tr.is_empty
+    tr = extract_time_range(
+        "time >= '2026-01-01T00:00:00' AND id IN (SELECT id FROM s)"
+    )
+    assert tr.is_empty  # conservative: any subquery disables extraction
+    # '(SELECT' inside a string literal is not a subquery
+    tr = extract_time_range(
+        "time >= '2026-01-01T00:00:00' AND note = '(SELECT x)'"
+    )
+    assert tr.start is not None
+
+
+def test_shim_lambda_keyword(spark):
+    # DuckDB's python-style lambda form → arrow lambdas
+    assert to_spark_sql("SELECT list_transform(xs, lambda x: x + 1)") == (
+        "SELECT transform(xs, x -> x + 1)"
+    )
+    assert to_spark_sql("SELECT list_reduce(xs, lambda a, b: a + b)") == (
+        "SELECT reduce(xs, (a, b) -> a + b)"
+    )
+    # not rewritten inside string literals
+    assert to_spark_sql("SELECT 'lambda x: y'") == "SELECT 'lambda x: y'"
+    row = spark.sql(
+        to_spark_sql("SELECT transform(array(1, 2), lambda x: x * 10) AS xs")
+    ).first()
+    assert row["xs"] == [10, 20]
+
+
 def test_time_range_kept_with_is_not_null():
     # ADVICE r2 (low): 'IS NOT' is one operator, not a negation scope —
     # it must not disable time-based pruning on a mainline query shape.
