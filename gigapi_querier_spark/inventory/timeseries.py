@@ -234,13 +234,18 @@ FROM sess GROUP BY user_id, session_id
 """,
 )
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gigapi_querier_spark.streaming.ingest import sessionize_batch
+    # native session_window path — same rows as the two-window
+    # sessionize_batch reference (which stays as the streaming oracle),
+    # one aggregation pass instead of two analytic windows
+    from gigapi_querier_spark.streaming.ingest import sessionize_native
 
     t = load_tables(spark, sf_dir, ("events",))
     ev = t["events"].select(
         "user_id", "event_id", F.expr("ts DIV 1000").alias("t_us")
     )
-    return sessionize_batch(ev, time_col="t_us", gap_minutes=30, ticks_per_second=1_000_000)
+    return sessionize_native(
+        ev, time_col="t_us", gap_minutes=30, ticks_per_second=1_000_000
+    )
 
 
 @register(

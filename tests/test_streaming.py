@@ -156,3 +156,32 @@ def test_stream_to_table_roundtrip(spark, tmp_path):
     eng = QueryEngine(spark, root=root)
     rows = eng.query_rows("SELECT count(*) AS n FROM st", "sdb")
     assert rows == [{"n": 24}]
+
+
+def test_sessionize_native_matches_batch(spark):
+    """The session_window implementation must agree with the two-window
+    reference exactly, including the strict-gap boundary (an event at
+    exactly gap distance continues the session; +1µs starts a new one)."""
+    from pyspark.sql import functions as F
+
+    from gigapi_querier_spark.streaming.ingest import (
+        sessionize_batch,
+        sessionize_native,
+    )
+
+    gap_us = 30 * 60 * 1_000_000
+    base = 1_700_000_000 * 1_000_000
+    rows = [
+        (1, 1, base),
+        (1, 2, base + gap_us),          # exactly gap -> SAME session
+        (1, 3, base + 2 * gap_us + 1),  # gap+1µs -> NEW session
+        (2, 4, base),
+        (2, 5, base + 1),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, t_us long")
+    kw = dict(time_col="t_us", gap_minutes=30, ticks_per_second=1_000_000)
+    a = {tuple(r) for r in sessionize_batch(ev, **kw).collect()}
+    b = {tuple(r) for r in sessionize_native(ev, **kw).collect()}
+    assert a == b
+    sessions = {(r[0], r[1]) for r in b}
+    assert sessions == {(1, 1), (1, 2), (2, 1)}
