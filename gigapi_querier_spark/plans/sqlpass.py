@@ -430,6 +430,9 @@ def _rewrite_lambda_kw(sql: str) -> str:
 
 _SIMILAR_TO = re.compile(r"\bSIMILAR\s+TO\s+'([^']*)'", re.IGNORECASE)
 
+#: DuckDB star modifier: SELECT * EXCLUDE (a, b) → Spark * EXCEPT (a, b)
+_STAR_EXCLUDE = re.compile(r"(\*\s+)EXCLUDE(\s*\()", re.IGNORECASE)
+
 #: DuckDB polymorphic list aggregates that need an argument wrap (balanced-
 #: paren extraction): list_sum(x) → aggregate(x, 0.0D, fold).
 _LIST_SUM = re.compile(r"\b(list_sum|list_avg|list_count)\s*\(", re.IGNORECASE)
@@ -742,6 +745,7 @@ def to_spark_sql(sql: str) -> str:
         ),
     )
     sql = _SIMILAR_TO.sub(lambda m: f"RLIKE '^(?:{m.group(1)})$'", sql)
+    sql = _outside_quotes(sql, lambda s: _STAR_EXCLUDE.sub(r"\1EXCEPT\2", s))
     sql = _PG_CAST.sub(lambda m: f"TIMESTAMP '{m.group(1)}'", sql)
     sql = _PG_CAST_GENERIC.sub(lambda m: f"CAST({m.group(1)} AS {m.group(2)})", sql)
     return sql

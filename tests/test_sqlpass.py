@@ -231,6 +231,21 @@ def test_time_range_skipped_with_subquery():
     assert tr.start is not None
 
 
+def test_shim_star_exclude(spark):
+    assert to_spark_sql("SELECT * EXCLUDE (a, b) FROM t") == (
+        "SELECT * EXCEPT (a, b) FROM t"
+    )
+    # not inside string literals
+    assert to_spark_sql("SELECT '* EXCLUDE (x)'") == "SELECT '* EXCLUDE (x)'"
+    spark.createDataFrame([(1, 2, 3)], "a int, b int, c int").createOrReplaceTempView(
+        "xt"
+    )
+    assert spark.sql(to_spark_sql("SELECT * EXCLUDE (b) FROM xt")).columns == [
+        "a",
+        "c",
+    ]
+
+
 def test_shim_lambda_keyword(spark):
     # DuckDB's python-style lambda form → arrow lambdas
     assert to_spark_sql("SELECT list_transform(xs, lambda x: x + 1)") == (
