@@ -25,13 +25,14 @@ def connected_components(
     """Resolve candidate pairs into clusters: (node, cluster_id) with
     cluster_id = min node id reachable in the pair graph.
 
-    Algorithm: min-label propagation to fixpoint — each round every node
-    adopts the smallest label among itself and its neighbors; converged
-    when no label changes. Each round is ONE shuffle (edges ⋈ labels +
-    min-aggregate); rounds needed = graph diameter (near-dup graphs are
-    shallow — duplicates of a document link through it). The classic
-    alternating large-star/small-star optimization halves rounds on deep
-    graphs; diameters here don't warrant it.
+    Algorithm: min-label propagation WITH pointer jumping — each round
+    every node adopts the smallest of {its label, its neighbors' labels,
+    its label's label}; converged when nothing changes. The neighbor
+    term walks one edge per round; the label-of-label term (the classic
+    pointer-doubling / star-contraction trick) halves the remaining
+    pointer depth per round, so rounds are ~log(diameter) instead of
+    diameter — an adversarial 1M-node chain converges in ~20 rounds,
+    not 1M. Per round: two shuffled joins + one min-aggregate.
 
     Driver involvement is one convergence count per round (an iterative
     algorithm's natural shape — same loop structure GraphX/Pregel runs).
@@ -64,17 +65,26 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # pointer jump: the label my current label points to
+        lref = labels.select(
+            F.col("node").alias("ln"), F.col("lbl").alias("llbl")
+        )
         # one ACTION per round: the aggregate both materializes the new
         # labels into cache and reports whether anything moved (a separate
         # changed-count join would double the per-round job latency)
-        nl = labels.join(neighbor_min, labels.node == neighbor_min.a, "left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
-                "new_lbl"
-            ),
-            (F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl"))
-            .cast("int")
-            .alias("moved"),
+        cand = F.least(
+            F.col("lbl"),
+            F.coalesce(F.col("nlbl"), F.col("lbl")),
+            F.coalesce(F.col("llbl"), F.col("lbl")),
+        )
+        nl = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .join(lref, labels.lbl == F.col("ln"), "left")
+            .select(
+                "node",
+                cand.alias("new_lbl"),
+                (cand < F.col("lbl")).cast("int").alias("moved"),
+            )
         )
         is_ckpt = (i + 1) % ckpt_every == 0
         if is_ckpt:

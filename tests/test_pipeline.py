@@ -36,6 +36,17 @@ def test_connected_components_deep_chain_checkpoints(spark):
     assert got == {i: 0 for i in range(14)}
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-node chain has diameter 59 — plain 1-step label propagation
+    could NOT converge within max_iter=25; pointer jumping (label-of-
+    label each round) reaches the fixpoint in ~log2(59) rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in P.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(60)}
+
+
 def test_no_cached_plans_leak_after_operators(spark):
     # VERDICT r2 wrong#3: a persist that outlives the operator call leaks
     # executor storage in a long-running service. CacheManager must be
