@@ -118,6 +118,8 @@ _PRIORITY: tuple[str, ...] = (
     # -- NEW in round 3 (no CORRECTNESS row yet) --
     "contamination_ngram_overlap",
     "text_top_ngrams",
+    "skew_salted_agg",
+    "skew_replicated_join",
     # -- flagships verified in BOTH prior rounds; first in line if the
     #    budget exceeds 54 --
     "q1_pricing_summary",
