@@ -61,6 +61,13 @@ def _ensure_session_conf(spark: SparkSession) -> None:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        # InferFiltersFromGenerate duplicates expensive shingle/transform
+        # generators below the exchange (see session.py) — runtime-
+        # settable, so pin it on driver-provided sessions too
+        (
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        ),
     ):
         try:
             spark.conf.set(k, v)
