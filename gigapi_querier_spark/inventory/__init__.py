@@ -59,71 +59,71 @@ _LOADED = False
 # it stays inside the checked window; everything else (green in round 1)
 # comes last. Update this list as rounds accumulate coverage.
 _PRIORITY: tuple[str, ...] = (
-    # -- round 3: re-verify the 48 queries last checked in round 1 (the
-    #    engine changed in round 2: broadcast threshold, session confs,
-    #    sketch UDF hardening — VERDICT r2 wrong#5). Headline/flagship
-    #    members lead so a smaller budget still covers them. --
-    "q5_local_supplier_volume",
-    "window_rank_topn",
-    "explode_words",
-    "dedup_minhash_lsh_pairs",
-    "dedup_jaccard_pairs",
-    "dedup_simhash",
-    "dedup_exact_stats",
-    "dedup_exact_keep_first",
-    "dedup_minhash_signatures",
-    "multimodal_asset_meta",
-    "multimodal_frame_sample",
-    "multimodal_decode_features",
-    "ts_gapfill_hourly",
-    "ts_moving_avg_10m",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_first_last_nth",
-    "window_ntile_pctrank",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_filter_clause",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_minmax_by",
-    "agg_rollup",
-    "agg_stats",
-    "agg_string_concat",
-    "cte_top_supplier",
-    "recursive_cte_months",
-    "expr_case_cast",
-    "expr_datetime_funcs",
-    "expr_math_funcs",
-    "expr_string_funcs",
-    "expr_struct_ops",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_left_outer_agg",
-    "join_semi",
-    "order_limit_topk",
-    "pivot_status_counts",
-    "unpivot_metrics",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "subquery_exists_correlated",
-    "subquery_in",
-    "subquery_scalar",
-    # -- implementation changed in round 3 (rows-only → full oracle);
-    #    their round-2 rows are stale --
-    "sample_fraction",
-    "approx_distinct_sketch",
-    # -- NEW in round 3 (no CORRECTNESS row yet) --
+    # -- NEVER driver-checked (added after round 3's window ran). These
+    #    MUST land in round 4's budget — VERDICT r3 wrong#1. --
     "contamination_ngram_overlap",
     "text_top_ngrams",
     "skew_salted_agg",
     "skew_replicated_join",
-    # -- flagships verified in BOTH prior rounds; first in line if the
-    #    budget exceeds 54 --
+    # -- implementation swapped in round 3 AFTER their last green row
+    #    (ts_sessionize → native sessionize, asof_purchase_click →
+    #    self-join plan, json_extract_agg → VARIANT); their only passing
+    #    rows predate the swap (ADVICE r3 #1) --
+    "ts_sessionize",
+    "asof_purchase_click",
+    "json_extract_agg",
+    # -- flagships + the rest of the 45 queries last checked in round 2,
+    #    so every query re-cycles within two rounds. Two of these spill
+    #    past a 50-query budget (4+3+45 = 52); the spilled tail becomes
+    #    the head of round 5. --
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "asof_signup_next_purchase",
+    "ann_cosine_topk",
+    "ann_batch_topk",
+    "ann_lsh_bucket_counts",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_neardup_pairs",
+    "dedup_neardup_clusters",
+    "sample_split_counts",
+    "pack_sequences_assign",
+    "corpus_mixture_sample",
+    "text_chunk_documents",
+    "text_redact_pii",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_subword_counts",
+    "ts_ohlc_hourly",
+    "ts_range_join_window",
+    "ts_bucket_5m",
+    "ts_daily_top_type",
+    "ts_user_gaps",
+    "expr_array_ops",
+    "expr_null_funcs",
+    "expr_interval_arith",
+    "expr_map_ops",
+    "expr_date_format",
+    "expr_string_funcs2",
+    "expr_bitwise",
+    "expr_try_cast",
+    "agg_corr_regr",
+    "agg_stats2_moments",
+    "agg_histogram_bins",
+    "agg_bool_bit",
+    "agg_group_by_all",
+    "agg_percentile_within_group",
+    "join_right_outer",
+    "join_lateral",
+    "set_intersect_all",
+    "set_except_all",
+    # last two before the r3-set: these spill at budget 50 and lead r5
+    "select_star_except",
+    "expr_greatest_least",
+    # -- re-verified green in round 3 (freshest rows); registration order
+    #    below this point — they cycle back in round 5. --
 )
 
 
