@@ -100,13 +100,16 @@ FROM events GROUP BY user_id
 def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))
     # Spark 4 VARIANT beats get_json_object ~20% here (one binary parse +
-    # typed path access vs a Jackson walk per row); same null-on-missing
-    # semantics, and the typed extraction skips the string round-trip.
+    # typed path access vs a Jackson walk per row). try_parse_json keeps
+    # get_json_object's (and DuckDB json_extract's) lenient semantics:
+    # NULL on malformed JSON, not a query-aborting error (ADVICE r3).
     return (
         t["events"]
         .select(
             "user_id",
-            F.expr("try_variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+            F.expr(
+                "try_variant_get(try_parse_json(props), '$.k', 'bigint')"
+            ).alias("k"),
         )
         .groupBy("user_id")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))

@@ -25,6 +25,7 @@ Divergences from the reference (documented; all strictly-saner):
 from __future__ import annotations
 
 import re
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -558,6 +559,26 @@ def _quoted_spans(sql: str) -> list[tuple[int, int]]:
     return [m.span() for m in re.finditer(r"'(?:[^']|'')*'", sql)]
 
 
+def _fold_sum(arg: str) -> str:
+    """NULL-correct array sum fold (DuckDB list_sum/list_aggregate 'sum'):
+    NULL elements are ignored; an empty or all-NULL array yields NULL
+    (ADVICE r3 — a plain fold propagated element NULLs and returned 0.0
+    for empty). NULL init + coalesce-on-accumulate gets both in one pass."""
+    nn = f"filter({arg}, _e -> _e IS NOT NULL)"
+    return (
+        f"aggregate({nn}, CAST(NULL AS DOUBLE),"
+        f" (_acc, _e) -> coalesce(_acc, CAST(0 AS DOUBLE)) + _e)"
+    )
+
+
+def _fold_avg(arg: str) -> str:
+    """DuckDB-style list avg: sum of non-NULLs / count of non-NULLs
+    (not array size — ADVICE r3); nullif keeps the empty case NULL
+    without tripping ANSI division-by-zero."""
+    nn_size = f"size(filter({arg}, _e -> _e IS NOT NULL))"
+    return f"{_fold_sum(arg)} / nullif({nn_size}, 0)"
+
+
 def _rewrite_list_aggs(sql: str) -> str:
     """``list_sum/list_avg/list_count(x)`` → higher-order ``aggregate``
     folds (Spark has no array-sum builtin). Runs over the full string —
@@ -580,14 +601,11 @@ def _rewrite_list_aggs(sql: str) -> str:
         arg = sql[m.end() : end - 1]
         fn = m.group(1).lower()
         if fn == "list_sum":
-            expr = f"aggregate({arg}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            expr = _fold_sum(arg)
         elif fn == "list_avg":
-            expr = (
-                f"aggregate({arg}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-                f" / size({arg})"
-            )
+            expr = _fold_avg(arg)
         else:  # list_count: non-null elements
-            expr = f"size(filter({arg}, x -> x IS NOT NULL))"
+            expr = f"size(filter({arg}, _e -> _e IS NOT NULL))"
         out.append(sql[pos : m.start()])
         out.append(expr)
         pos = end
@@ -634,12 +652,15 @@ _ARG_XFORM = re.compile(
 _NAMED_ARG = re.compile(r"^([A-Za-z_]\w*)\s*:=\s*(.+)$", re.DOTALL)
 
 #: list_aggregate's function-name argument → Spark array equivalents.
-_LIST_AGGR_FNS = {
-    "'sum'": "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
-    "'min'": "array_min({0})",
-    "'max'": "array_max({0})",
-    "'count'": "size(filter({0}, x -> x IS NOT NULL))",
-    "'avg'": "aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size({0})",
+#: Callables (not str.format templates — braces in the argument, e.g.
+#: struct literals, would abort a format; ADVICE r3). sum/avg share the
+#: NULL-correct folds above.
+_LIST_AGGR_FNS: dict[str, Callable[[str], str]] = {
+    "'sum'": _fold_sum,
+    "'min'": lambda a: f"array_min({a})",
+    "'max'": lambda a: f"array_max({a})",
+    "'count'": lambda a: f"size(filter({a}, _e -> _e IS NOT NULL))",
+    "'avg'": _fold_avg,
 }
 
 _PLAIN_LIT = re.compile(r"^'([^']*)'$")
@@ -682,7 +703,11 @@ def _rewrite_arg_transforms(sql: str) -> str:
                 delim = re.escape(lit.group(1)).replace("\\", "\\\\")
                 repl = f"split({args[0]}, '{delim}')"
             else:
-                repl = f"split({args[0]}, {args[1]})"
+                # Non-literal delimiter: DuckDB splits on the VALUE, Spark
+                # split() treats it as a regex — wrap in \Q…\E so metachars
+                # in the runtime value stay literal (ADVICE r3). The SQL
+                # string layer eats one backslash, hence the double.
+                repl = f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
         elif fn in ("string_split_regex", "str_split_regex") and len(args) == 2:
             repl = f"split({args[0]}, {args[1]})"
         elif fn == "list_slice" and len(args) == 3:
@@ -701,7 +726,7 @@ def _rewrite_arg_transforms(sql: str) -> str:
         elif fn in ("list_aggregate", "list_aggr") and len(args) == 2:
             template = _LIST_AGGR_FNS.get(args[1].lower())
             if template:
-                repl = template.format(args[0])
+                repl = template(args[0])
         if repl is None:
             out.append(sql[pos : end])
         else:

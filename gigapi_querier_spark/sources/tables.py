@@ -53,41 +53,88 @@ SMALL_INPUT_BYTES = 64 * 1024 * 1024
 SMALL_INPUT_SHUFFLE = "8"
 
 _SIZE_CACHE: dict[str, int] = {}
-_TUNED_FOR: dict[str, str] = {}  # applicationId -> sf_dir last applied
+#: applicationId -> (sf_dir, "small" | "scale") last applied.
+_TUNED_FOR: dict[str, tuple[str, str]] = {}
+#: applicationId -> pre-tune conf snapshot, taken before the FIRST
+#: mutation so the session's own profile (a user's AQE pin, the
+#: bootstrap defaults) can be restored (ADVICE r3 — the small fixture
+#: profile must not leak into engine/HTTP queries sharing the session).
+_ORIG_CONF: dict[str, dict[str, str | None]] = {}
+
+_PROFILE_KEYS = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
 
 
 def _dir_input_bytes(sf_dir: str) -> int:
     total = _SIZE_CACHE.get(sf_dir)
     if total is None:
         try:
-            total = sum(
-                e.stat().st_size
-                for e in os.scandir(sf_dir)
-                if e.name.endswith(".parquet")
-            )
+            # Recursive: a "table.parquet" may be a DIRECTORY of part
+            # files (Spark writer layout) — a flat scandir measured those
+            # as ~0 bytes and wrongly took the small profile (ADVICE r3).
+            total = 0
+            for dirpath, _dirnames, filenames in os.walk(sf_dir):
+                for fn in filenames:
+                    if fn.endswith(".parquet"):
+                        total += os.stat(os.path.join(dirpath, fn)).st_size
         except OSError:
             total = SMALL_INPUT_BYTES  # unknown → keep the scale defaults
         _SIZE_CACHE[sf_dir] = total
     return total
 
 
+def _snapshot_conf(spark: SparkSession, app: str) -> None:
+    if app not in _ORIG_CONF:
+        snap: dict[str, str | None] = {}
+        for k in _PROFILE_KEYS:
+            try:
+                snap[k] = spark.conf.get(k, None)
+            except Exception:
+                snap[k] = None
+        _ORIG_CONF[app] = snap
+
+
+def release_small_profile(spark: SparkSession) -> None:
+    """Restore the session's pre-tune confs if the small fixture profile
+    is active. The engine calls this on its query path so interactive
+    fixture tuning (AQE off, 8 shuffle partitions) never bleeds into
+    engine/HTTP queries sharing the session; the next ``load_tables``
+    re-applies whatever profile its input warrants. No-op (one dict
+    lookup) when nothing small is active."""
+    app = spark.sparkContext.applicationId
+    tuned = _TUNED_FOR.get(app)
+    if tuned is None or tuned[1] != "small":
+        return
+    for k, v in _ORIG_CONF.get(app, {}).items():
+        try:
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+    del _TUNED_FOR[app]
+
+
 def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
     """Apply the input-size-aware execution profile (idempotent per
     (session, sf_dir); both confs are runtime-settable)."""
     app = spark.sparkContext.applicationId
-    if _TUNED_FOR.get(app) == sf_dir:
+    tuned = _TUNED_FOR.get(app)
+    if tuned is not None and tuned[0] == sf_dir:
         return
     from gigapi_querier_spark.session import DEFAULT_SHUFFLE_PARTITIONS
 
+    _snapshot_conf(spark, app)
     if _dir_input_bytes(sf_dir) < SMALL_INPUT_BYTES:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", SMALL_INPUT_SHUFFLE)
+        _TUNED_FOR[app] = (sf_dir, "small")
     else:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
         )
-    _TUNED_FOR[app] = sf_dir
+        _TUNED_FOR[app] = (sf_dir, "scale")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -324,8 +324,9 @@ def test_shim_list_functions():
     )
     out = to_spark_sql("SELECT list_sum(list_transform(xs, x -> x * 2))")
     assert out == (
-        "SELECT aggregate(transform(xs, x -> x * 2),"
-        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        "SELECT aggregate(filter(transform(xs, x -> x * 2),"
+        " _e -> _e IS NOT NULL), CAST(NULL AS DOUBLE),"
+        " (_acc, _e) -> coalesce(_acc, CAST(0 AS DOUBLE)) + _e)"
     )
     # no rewrite inside string literals
     assert to_spark_sql("SELECT 'list_min(a)'") == "SELECT 'list_min(a)'"
@@ -401,7 +402,9 @@ def test_shim_struct_pack_and_list_aggregate(spark):
         "SELECT array_min(xs)"
     )
     assert to_spark_sql("SELECT list_aggr(xs, 'sum')") == (
-        "SELECT aggregate(xs, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        "SELECT aggregate(filter(xs, _e -> _e IS NOT NULL),"
+        " CAST(NULL AS DOUBLE),"
+        " (_acc, _e) -> coalesce(_acc, CAST(0 AS DOUBLE)) + _e)"
     )
     # unknown aggregate name: left untouched → loud failure, not wrong rows
     sql = "SELECT list_aggregate(xs, 'median')"
@@ -411,6 +414,56 @@ def test_shim_struct_pack_and_list_aggregate(spark):
         to_spark_sql("SELECT struct_pack(a := 1, b := 2) AS s")
     ).first()
     assert row["s"].asDict() == {"a": 1, "b": 2}
+
+
+def test_shim_str_split_nonliteral_delimiter(spark):
+    # ADVICE r3: a non-literal delimiter is a VALUE in DuckDB but a REGEX
+    # in Spark split() — wrap it in \Q…\E so metachars stay literal
+    assert to_spark_sql("SELECT str_split(s, d) FROM t") == (
+        "SELECT split(s, concat('\\\\Q', d, '\\\\E')) FROM t"
+    )
+    # end-to-end: '.' as a runtime value splits literally, not match-all
+    row = spark.sql(
+        to_spark_sql("SELECT str_split('a.b.c', substr('x.', 2)) AS xs")
+    ).first()
+    assert row["xs"] == ["a", "b", "c"]
+    # NULL delimiter → NULL (DuckDB parity: concat propagates the NULL)
+    row = spark.sql(
+        to_spark_sql("SELECT str_split('a.b', CAST(NULL AS STRING)) AS xs")
+    ).first()
+    assert row["xs"] is None
+
+
+def test_shim_list_agg_null_semantics(spark):
+    # ADVICE r3: DuckDB's list sum/avg IGNORE NULL elements, return NULL
+    # for empty / all-NULL lists, and avg divides by the NON-NULL count.
+    # (Verified against duckdb 1.x: sum([1,NULL,2])=3, sum([])=NULL,
+    # avg([1,NULL,2])=1.5, avg([NULL])=NULL, count([1,NULL,2])=2.)
+    rows = spark.sql(
+        to_spark_sql(
+            "SELECT list_sum(array(1, NULL, 2)) AS s,"
+            " list_avg(array(1, NULL, 2)) AS a,"
+            " list_count(array(1, NULL, 2)) AS c,"
+            " list_sum(array(CAST(NULL AS INT))) AS s_null,"
+            " list_avg(array(CAST(NULL AS INT))) AS a_null,"
+            " list_aggregate(array(1, NULL, 2), 'sum') AS la_s,"
+            " list_aggregate(array(1, NULL, 2), 'avg') AS la_a"
+        )
+    ).first()
+    assert rows["s"] == 3.0
+    assert rows["a"] == 1.5
+    assert rows["c"] == 2
+    assert rows["s_null"] is None
+    assert rows["a_null"] is None
+    assert rows["la_s"] == 3.0
+    assert rows["la_a"] == 1.5
+
+
+def test_shim_list_aggregate_braces_in_args():
+    # arguments containing braces must not abort the shim pass
+    assert to_spark_sql("SELECT list_aggregate(f(x, '{a}'), 'min')") == (
+        "SELECT array_min(f(x, '{a}'))"
+    )
 
 
 def test_shim_using_sample_and_similar_to():
