@@ -61,7 +61,21 @@ _TUNED_FOR: dict[str, tuple[str, str]] = {}
 #: profile must not leak into engine/HTTP queries sharing the session).
 _ORIG_CONF: dict[str, dict[str, str | None]] = {}
 
-_PROFILE_KEYS = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+_PROFILE_KEYS = (
+    "spark.sql.adaptive.enabled",
+    "spark.sql.shuffle.partitions",
+    "spark.sql.files.openCostInBytes",
+)
+
+#: Scale-profile parquet split floor. Spark sizes scan splits as
+#: ``min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))``
+#: — the formula already adapts to input size per scan, but the default
+#: 4 MB openCost floor pins a 20-100 MB table to a handful of tasks
+#: (measured: events @ sf1.0 = 6 tasks, 1-task-per-4MB JSON parsing while
+#: 26 cores idle). 1 MB says "a task is worth spawning per MB of parquet"
+#: — right for page-cached local reads AND harmless at 100 TB, where
+#: bytesPerCore >> maxPartitionBytes keeps splits at 128 MB regardless.
+SCALE_OPEN_COST = str(1024 * 1024)
 
 
 def _dir_input_bytes(sf_dir: str) -> int:
@@ -134,6 +148,7 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
         )
+        spark.conf.set("spark.sql.files.openCostInBytes", SCALE_OPEN_COST)
         _TUNED_FOR[app] = (sf_dir, "scale")
 
 

@@ -116,10 +116,16 @@ def main() -> None:
             out = src
         else:
             out = pa.concat_tables([_replica(src, name, i) for i in range(k)])
+        # Bound row groups by ROW COUNT relative to table size, not just the
+        # global cap: documents (50k fat-text rows) and embeddings (20k) at
+        # K=10 landed in ONE row group, serializing every scan in BOTH
+        # engines to a single thread. ~32 groups per table mirrors how a
+        # real lake writer bounds row groups and lets a 32-way scan engage.
+        rg = max(2048, min(ROW_GROUP, len(out) // 32))
         pq.write_table(
             out,
             os.path.join(out_dir, f"{name}.parquet"),
-            row_group_size=ROW_GROUP,
+            row_group_size=rg,
             compression="snappy",
         )
         print(f"{name}: {len(src)} -> {len(out)} rows")
