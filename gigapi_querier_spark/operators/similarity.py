@@ -78,9 +78,21 @@ def _input_bytes(df: DataFrame) -> int | None:
         files = df.inputFiles()
         if not files:
             return None
-        return sum(
-            os.path.getsize(f.removeprefix("file:")) for f in files
-        )
+        total = 0
+        for f in files:
+            if "://" not in f:
+                total += os.path.getsize(f.removeprefix("file:"))
+            else:
+                # Object-store input (s3a/hdfs/…): stat through the Hadoop
+                # FileSystem API, same as engine._sig — os.path.getsize on
+                # a URI always failed, so small object-store corpora were
+                # mis-routed to the Arrow-UDF path (VERDICT r3 wrong#3).
+                # Metadata-only call, cheap relative to the kernel choice.
+                spark = df.sparkSession
+                p = spark._jvm.org.apache.hadoop.fs.Path(f)
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                total += int(fs.getFileStatus(p).getLen())
+        return total
     except Exception:
         return None
 

@@ -181,3 +181,70 @@ def test_sig_local_and_hadoop_paths(spark, tmp_path):
     assert eng._sig("file://" + str(p))[1] == 11
     # missing file -> sentinel, no crash
     assert eng._sig("file:///nope/nothing")[1] == -1
+
+
+def test_engine_time_prunes_layer_resolved_uris(spark, tmp_path):
+    """VERDICT r3 next#4: the FULL engine lifecycle — layer resolution →
+    index range pruning → URI bind → scan — over ``file://``-scheme URIs,
+    the same code path an ``s3a://`` layer takes (parse_layer builds the
+    per-bucket S3A conf; LocalFileSystem stands in for S3AFileSystem since
+    hadoop-aws isn't bundled). Asserts the time filter prunes at the INDEX
+    level (n_files), not just in the scan."""
+    from gigapi_querier_spark.sources.layers import parse_layer, resolve_path
+    from gigapi_querier_spark.sources.writer import write_table
+
+    root = str(tmp_path / "layer_root")
+    ns0 = 1_700_000_000 * 1_000_000_000
+    hour = 3_600 * 10**9
+    # two files an hour apart, written through the layer layout
+    df = spark.createDataFrame(
+        [(ns0 + i * hour + j * 10**9, float(i * 10 + j)) for i in range(2) for j in range(4)],
+        "time long, v double",
+    )
+    write_table(df, root, "ldb", "metrics")
+    layer = parse_layer("local", f"file://{root}")
+
+    import glob
+
+    data_dir = os.path.join(root, "ldb", "metrics", "data")
+    fake = FakeRedis()
+    fake.sets["gigapi:databases"] = {"ldb"}
+    fake.sets["gigapi:ldb:tables"] = {"metrics"}
+    entries = {}
+    for p in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(p, data_dir)
+        # resolve through the layer exactly as a writer-side indexer would,
+        # then scheme-qualify (an s3 layer emits s3a://… here instead)
+        uri = "file://" + resolve_path(layer, "ldb", "metrics", rel)
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(p, columns=["time"])["time"].to_pylist()
+        entries[uri] = json.dumps(
+            {
+                "min_time": min(t),
+                "max_time": max(t),
+                "size_bytes": os.path.getsize(p),
+                "row_count": len(t),
+            }
+        )
+    fake.hashes["gigapi:ldb:metrics"] = entries
+
+    eng = QueryEngine(spark, root="/nonexistent", index=RedisIndex(client=fake))
+    # unbounded: sees every file
+    rows = eng.query_rows("SELECT count(*) AS n FROM metrics", "ldb")
+    assert rows == [{"n": 8}]
+    n_all = eng.last_stats.n_files
+    assert n_all == len(entries)
+    # bounded to the first hour (ns0=2023-11-14T22:13:20Z): the index
+    # shortlist must shrink — pruning happened on URI entries, pre-scan
+    rows = eng.query_rows(
+        "SELECT count(*) AS n, round(sum(v), 1) AS s FROM metrics"
+        " WHERE time >= '2023-11-14T22:13:20Z'"
+        " AND time <= '2023-11-14T22:13:30Z'",
+        "ldb",
+    )
+    assert rows == [{"n": 4, "s": 6.0}]
+    assert eng.last_stats.n_files < n_all
+    # the bind's schema-cache signatures came through the Hadoop FS branch
+    key = next(iter(eng._schema_cache))
+    assert all(size > 0 and mtime > 0 for (_, size, mtime) in key[2])
