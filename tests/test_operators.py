@@ -457,3 +457,76 @@ def test_cosine_topk_uri_input_picks_codegen_kernel(spark, sf_dir):
     assert [r.asDict() for r in top.collect()] == [
         r.asDict() for r in local.collect()
     ]
+
+
+def test_png_encode_gray_and_rgba_roundtrip(spark):
+    """VERDICT r3 next#7: encode_png emits the source color type (gray /
+    gray+alpha / RGB / RGBA), and the resize path preserves it — a gray
+    input must come back color type 0, an RGBA input color type 6 with
+    its alpha intact."""
+    import numpy as np
+
+    from gigapi_querier_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_rgb,
+    )
+
+    base = (np.arange(6 * 4, dtype=np.int64) * 53 % 251).astype(np.uint8)
+    gray = base.reshape(4, 6)
+    rgba = np.dstack(
+        [gray, gray[::-1], gray.T.reshape(4, 6), np.full((4, 6), 77, np.uint8)]
+    )
+
+    enc_gray = encode_png(gray)
+    assert enc_gray[25] == 0  # IHDR color type byte: grayscale
+    assert np.array_equal(decode_png(enc_gray, native=True), gray[..., None])
+    # default (non-native) still broadcasts to RGB for the feature path
+    assert np.array_equal(
+        decode_png(enc_gray), np.repeat(gray[..., None], 3, axis=2)
+    )
+
+    enc_rgba = encode_png(rgba)
+    assert enc_rgba[25] == 6  # RGBA
+    assert np.array_equal(decode_png(enc_rgba, native=True), rgba)
+
+    # gray+alpha
+    ga = np.dstack([gray, np.full((4, 6), 9, np.uint8)])
+    enc_ga = encode_png(ga)
+    assert enc_ga[25] == 4
+    assert np.array_equal(decode_png(enc_ga, native=True), ga)
+
+    # resize round-trip preserves mode and alpha
+    small = resize_rgb(rgba, 3, 2)
+    enc_small = encode_png(small)
+    dec_small = decode_png(enc_small, native=True)
+    assert dec_small.shape == (2, 3, 4)
+    assert np.array_equal(dec_small[:, :, 3], np.full((2, 3), 77, np.uint8))
+
+
+def test_multimodal_resize_preserves_png_mode(spark):
+    """The distributed resize stage re-encodes each PNG in its own color
+    type (gray stays gray, RGBA keeps alpha) through the real
+    mapInPandas plan."""
+    import numpy as np
+
+    from gigapi_querier_spark.operators import multimodal as M
+
+    gray = (np.arange(8 * 8, dtype=np.int64) * 29 % 251).astype(np.uint8).reshape(8, 8)
+    rgba = np.dstack(
+        [gray, gray[::-1], gray, np.full((8, 8), 128, np.uint8)]
+    )
+    rows = [
+        (1, bytearray(M.encode_png(gray))),
+        (2, bytearray(M.encode_png(rgba))),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary").selectExpr(
+        "asset_id", "'image' AS media_type", "payload",
+        "CAST(octet_length(payload) AS BIGINT) AS n_bytes", "md5(payload) AS checksum",
+    )
+    out = {r["asset_id"]: bytes(r["payload"]) for r in M.resize(df, 4, 4).collect()}
+    got_g = M.decode_png(out[1], native=True)
+    got_a = M.decode_png(out[2], native=True)
+    assert got_g.shape == (4, 4, 1)
+    assert got_a.shape == (4, 4, 4)
+    assert np.array_equal(got_a[:, :, 3], np.full((4, 4), 128, np.uint8))
