@@ -311,16 +311,21 @@ def simhash16(
         if not word_lists:
             return pd.Series([], dtype="int64")
         lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64)
-        digests = b"".join(
-            hashlib.md5(w.encode()).digest()[:8]
-            for w in chain.from_iterable(word_lists)
-        )
+        # md5 once per UNIQUE word, not per occurrence: natural-language
+        # batches repeat words heavily (measured ~50-100× fewer digests),
+        # and the Python-side md5 loop is the whole cost of this pass.
+        # pd.factorize is a C-level first-seen encoding — order doesn't
+        # matter since each word's bits are independent.
+        flat = pd.Series(list(chain.from_iterable(word_lists)), dtype=object)
+        codes, uniques = pd.factorize(flat)
+        digests = b"".join(hashlib.md5(w.encode()).digest()[:8] for w in uniques)
         b8 = np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8)
         # hex digit 2k   = high nibble of byte k → LSB is bit (b>>4)&1
         # hex digit 2k+1 = low  nibble of byte k → LSB is b&1
-        bits = np.empty((b8.shape[0], 16), dtype=np.int64)
-        bits[:, 0::2] = (b8 >> 4) & 1
-        bits[:, 1::2] = b8 & 1
+        bits_u = np.empty((b8.shape[0], 16), dtype=np.int64)
+        bits_u[:, 0::2] = (b8 >> 4) & 1
+        bits_u[:, 1::2] = b8 & 1
+        bits = bits_u[codes]
         offsets = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
         counts = np.add.reduceat(bits, offsets, axis=0)  # (ndocs, 16)
